@@ -1,0 +1,18 @@
+"""Test env: run JAX on CPU with 8 virtual devices so multi-chip sharding
+logic is exercised without TPU hardware (SURVEY.md §4).
+
+Note: this image's sitecustomize imports jax at interpreter start, so env
+vars alone are too late — we must update jax.config before any backend is
+initialized (conftest runs before test collection imports trigger one).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,175 @@
+"""Sparse conv ops vs. dense-volume numpy oracles on tiny grids."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lidarseg3d_tpu.ops import sparse as sp
+from lidarseg3d_tpu.ops import coords as co
+
+
+def make_random_sparse(rng, B, V_cap, shape, Cin, density=0.2):
+    """Random active sites per sample, padded to V_cap (prefix-valid)."""
+    Z, Y, X = shape
+    coords = np.full((B, V_cap, 3), -1, np.int32)
+    feats = np.zeros((B, V_cap, Cin), np.float32)
+    nums = np.zeros((B,), np.int32)
+    dense = np.zeros((B, Z, Y, X, Cin), np.float32)
+    for b in range(B):
+        total = Z * Y * X
+        n = min(V_cap, max(1, int(total * density)))
+        lin = rng.choice(total, size=n, replace=False)
+        z, rem = lin // (Y * X), lin % (Y * X)
+        y, x = rem // X, rem % X
+        f = rng.standard_normal((n, Cin)).astype(np.float32)
+        coords[b, :n] = np.stack([z, y, x], 1)
+        feats[b, :n] = f
+        nums[b] = n
+        dense[b, z, y, x] = f
+    return coords, feats, nums, dense
+
+
+def dense_subm_oracle(dense, W, active_mask):
+    """Dense conv (zero padding) evaluated at active sites only."""
+    B, Z, Y, X, Cin = dense.shape
+    K, _, Cout = W.shape
+    k = round(K ** (1 / 3))
+    out = np.zeros((B, Z, Y, X, Cout), np.float32)
+    taps = [(a, b_, c) for a in range(k) for b_ in range(k) for c in range(k)]
+    pad = k // 2
+    for ki, (dz, dy, dx) in enumerate(taps):
+        src = np.zeros_like(dense)
+        z0, y0, x0 = dz - pad, dy - pad, dx - pad
+        zs = slice(max(0, z0), min(Z, Z + z0))
+        ys = slice(max(0, y0), min(Y, Y + y0))
+        xs = slice(max(0, x0), min(X, X + x0))
+        zd = slice(max(0, -z0), min(Z, Z - z0))
+        yd = slice(max(0, -y0), min(Y, Y - y0))
+        xd = slice(max(0, -x0), min(X, X - x0))
+        src[:, zd, yd, xd] = dense[:, zs, ys, xs]
+        out += src @ W[ki]
+    return out * active_mask[..., None]
+
+
+@pytest.mark.parametrize("group", [1, 9, 27])
+def test_subm_conv_matches_dense(group):
+    rng = np.random.default_rng(0)
+    B, Vc, shape, Cin, Cout = 2, 64, (5, 6, 7), 4, 8
+    coords, feats, nums, dense = make_random_sparse(rng, B, Vc, shape, Cin)
+    W = rng.standard_normal((27, Cin, Cout)).astype(np.float32)
+
+    st = sp.SparseTensor(
+        structure=sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape),
+        features=jnp.asarray(feats),
+    )
+    out = np.asarray(sp.subm_conv(st, jnp.asarray(W), kernel_size=3, group=group))
+
+    active = np.zeros((B,) + shape, bool)
+    for b in range(B):
+        c = coords[b, : nums[b]]
+        active[b, c[:, 0], c[:, 1], c[:, 2]] = True
+    oracle = dense_subm_oracle(dense, W, active)
+    for b in range(B):
+        c = coords[b, : nums[b]]
+        np.testing.assert_allclose(
+            out[b, : nums[b]], oracle[b, c[:, 0], c[:, 1], c[:, 2]], rtol=1e-4, atol=1e-4
+        )
+    # padded rows must be exactly zero
+    for b in range(B):
+        np.testing.assert_array_equal(out[b, nums[b]:], 0)
+
+
+def test_strided_conv_matches_dense():
+    rng = np.random.default_rng(1)
+    B, Vc, shape, Cin, Cout = 2, 96, (6, 8, 8), 3, 5
+    coords, feats, nums, dense = make_random_sparse(rng, B, Vc, shape, Cin, 0.3)
+    W = rng.standard_normal((27, Cin, Cout)).astype(np.float32)
+
+    st = sp.SparseTensor(
+        structure=sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape),
+        features=jnp.asarray(feats),
+    )
+    out_struct = sp.downsample_structure(st.structure, 2, capacity=Vc)
+    out = np.asarray(
+        sp.strided_conv(st, out_struct, jnp.asarray(W), kernel_size=3, stride=2, padding=1)
+    )
+    oc = np.asarray(out_struct.coords)
+    on = np.asarray(out_struct.num_voxels)
+
+    # expected output sites: unique(floor(active/2)), key-sorted
+    for b in range(B):
+        act = coords[b, : nums[b]] // 2
+        keys = (act[:, 0] * ((shape[1] + 1) // 2) + act[:, 1]) * ((shape[2] + 1) // 2) + act[:, 2]
+        uk = np.unique(keys)
+        assert on[b] == len(uk)
+        # value check: out[o] = sum_k W_k * dense[2o + k - 1]
+        Z, Y, X = shape
+        for j in range(on[b]):
+            o = oc[b, j]
+            expect = np.zeros(Cout, np.float32)
+            ki = 0
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        iz, iy, ix = 2 * o[0] + dz - 1, 2 * o[1] + dy - 1, 2 * o[2] + dx - 1
+                        if 0 <= iz < Z and 0 <= iy < Y and 0 <= ix < X:
+                            expect += dense[b, iz, iy, ix] @ W[ki]
+                        ki += 1
+            np.testing.assert_allclose(out[b, j], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_inverse_conv_matches_oracle():
+    rng = np.random.default_rng(2)
+    B, Vc, shape, C = 1, 80, (6, 6, 6), 4
+    coords, feats, nums, dense = make_random_sparse(rng, B, Vc, shape, C, 0.3)
+    W_down = rng.standard_normal((27, C, C)).astype(np.float32)
+    W_inv = rng.standard_normal((27, C, C)).astype(np.float32)
+
+    hi_struct = sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape)
+    st = sp.SparseTensor(structure=hi_struct, features=jnp.asarray(feats))
+    lo_struct = sp.downsample_structure(hi_struct, 2, capacity=Vc)
+    lo_feats = sp.strided_conv(st, lo_struct, jnp.asarray(W_down))
+    st_lo = sp.SparseTensor(structure=lo_struct, features=lo_feats)
+
+    up = np.asarray(sp.inverse_conv(st_lo, hi_struct, jnp.asarray(W_inv)))
+
+    # oracle: dense low-res volume, target t gathers d=(t+1-k)/2 when exact
+    lo_shape = lo_struct.spatial_shape
+    lo_dense = np.zeros((B,) + lo_shape + (C,), np.float32)
+    lc, ln = np.asarray(lo_struct.coords), np.asarray(lo_struct.num_voxels)
+    lf = np.asarray(lo_feats)
+    for b in range(B):
+        for j in range(ln[b]):
+            lo_dense[b, lc[b, j, 0], lc[b, j, 1], lc[b, j, 2]] = lf[b, j]
+    for b in range(B):
+        for j in range(nums[b]):
+            t = coords[b, j]
+            expect = np.zeros(C, np.float32)
+            ki = 0
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        num = t + 1 - np.array([dz, dy, dx])
+                        if np.all(num % 2 == 0):
+                            d = num // 2
+                            if np.all(d >= 0) and np.all(d < np.array(lo_shape)):
+                                expect += lo_dense[b, d[0], d[1], d[2]] @ W_inv[ki]
+                        ki += 1
+            np.testing.assert_allclose(up[b, j], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_hash_lookup_roundtrip():
+    rng = np.random.default_rng(5)
+    shape = (9, 11, 13)
+    coords, _, nums, _ = make_random_sparse(rng, 2, 50, shape, 1, 0.1)
+    s = sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape)
+    qkeys = co.make_query_keys(jnp.asarray(coords), shape)
+    idx, found = co.lookup(s.sorted_keys, s.sort_perm, qkeys)
+    idx, found = np.asarray(idx), np.asarray(found)
+    for b in range(2):
+        # every valid coord must find itself
+        np.testing.assert_array_equal(idx[b, : nums[b]], np.arange(nums[b]))
+        assert found[b, : nums[b]].all()
+        # padded rows (coords=-1) must miss
+        assert not found[b, nums[b]:].any()
+        assert (idx[b, nums[b]:] == 50).all()

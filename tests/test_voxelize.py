@@ -1,0 +1,111 @@
+"""Host voxelizer + label encoders vs. loop oracles that transcribe the
+reference numba kernels' semantics."""
+
+import numpy as np
+import pytest
+
+from lidarseg3d_tpu.core import voxelize as V
+
+
+def oracle_points_to_voxel(points, voxel_size, coors_range, max_points, max_voxels):
+    """Direct transcription of the reference reverse kernel
+    (det3d/ops/point_cloud/point_cloud_ops.py:8-57)."""
+    voxel_size = np.asarray(voxel_size, np.float32)
+    coors_range = np.asarray(coors_range, np.float32)
+    grid_size = np.round((coors_range[3:] - coors_range[:3]) / voxel_size).astype(
+        np.int32
+    )
+    coor_to_voxelidx = {}
+    voxels = np.zeros((max_voxels, max_points, points.shape[1]), points.dtype)
+    coors = np.zeros((max_voxels, 3), np.int32)
+    num_points = np.zeros((max_voxels,), np.int32)
+    voxel_num = 0
+    for i in range(points.shape[0]):
+        coor = np.zeros(3, np.int32)
+        failed = False
+        for j in range(3):
+            c = np.floor((points[i, j] - coors_range[j]) / voxel_size[j])
+            if c < 0 or c >= grid_size[j]:
+                failed = True
+                break
+            coor[2 - j] = c
+        if failed:
+            continue
+        key = tuple(coor)
+        if key not in coor_to_voxelidx:
+            if voxel_num >= max_voxels:
+                continue
+            coor_to_voxelidx[key] = voxel_num
+            coors[voxel_num] = coor
+            voxel_num += 1
+        vi = coor_to_voxelidx[key]
+        if num_points[vi] < max_points:
+            voxels[vi, num_points[vi]] = points[i]
+            num_points[vi] += 1
+    return voxels[:voxel_num], coors[:voxel_num], num_points[:voxel_num]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_points_to_voxel_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n = 2000
+    points = rng.uniform(-3, 3, size=(n, 4)).astype(np.float32)
+    vs = [0.25, 0.25, 0.5]
+    cr = [-2, -2, -2, 2, 2, 2]
+    vox, coors, npts = V.points_to_voxel(points, vs, cr, max_points=5, max_voxels=300)
+    ovox, ocoors, onpts = oracle_points_to_voxel(points, vs, cr, 5, 300)
+    np.testing.assert_array_equal(coors, ocoors)
+    np.testing.assert_array_equal(npts, onpts)
+    np.testing.assert_allclose(vox, ovox)
+
+
+def test_points_to_voxel_max_voxels_truncation():
+    rng = np.random.default_rng(3)
+    points = rng.uniform(-2, 2, size=(5000, 4)).astype(np.float32)
+    vs = [0.1, 0.1, 0.1]
+    cr = [-2, -2, -2, 2, 2, 2]
+    vox, coors, npts = V.points_to_voxel(points, vs, cr, max_points=3, max_voxels=100)
+    ovox, ocoors, onpts = oracle_points_to_voxel(points, vs, cr, 3, 100)
+    assert len(coors) == 100
+    np.testing.assert_array_equal(coors, ocoors)
+    np.testing.assert_array_equal(npts, onpts)
+    np.testing.assert_allclose(vox, ovox)
+
+
+def oracle_compact(voxel_labels, ignore_id=0):
+    out = np.zeros(voxel_labels.shape[0], voxel_labels.dtype)
+    for i in range(voxel_labels.shape[0]):
+        cur = voxel_labels[i][voxel_labels[i] > 0]
+        u = np.unique(cur)
+        if u.shape[0] > 1:
+            out[i] = ignore_id + 1
+        elif u.shape[0] == 1:
+            out[i] = u[0]
+        else:
+            out[i] = ignore_id + 1  # padded voxel (ours only)
+    return out - 1
+
+
+def oracle_major(voxel_labels, ignore_id=0):
+    out = np.zeros(voxel_labels.shape[0], voxel_labels.dtype)
+    for i in range(voxel_labels.shape[0]):
+        cur = voxel_labels[i][voxel_labels[i] > 0]
+        if len(cur) == 0:
+            out[i] = ignore_id + 1
+            continue
+        u, counts = np.unique(cur, return_counts=True)
+        out[i] = u[np.argmax(counts)]
+    return out - 1
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_label_encoders(seed):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 6, size=(500, 5)).astype(np.int64)
+    labels[0] = 0  # fully padded voxel
+    np.testing.assert_array_equal(
+        V.encode_compact_value_labels(labels), oracle_compact(labels)
+    )
+    np.testing.assert_array_equal(
+        V.encode_major_value_labels(labels), oracle_major(labels)
+    )
