@@ -68,6 +68,46 @@ def make_query_keys(coords, spatial_shape, extra_valid=None):
     return jnp.where(inb, keys, INVALID_QUERY).astype(jnp.int32)
 
 
+def build_dense_table(coords, num_voxels, spatial_shape):
+    """Direct-address lookup table: table[b, key] = row index, -1 = empty.
+
+    This is the TPU-native rulebook structure: a neighbor lookup becomes ONE
+    vector gather instead of a binary search (searchsorted costs ~20ms per
+    160k queries on v5e vs ~2ms for the same queries as a dense-table
+    gather; the table build is a single ~2ms scatter). Memory is
+    prod(spatial_shape) * 4 bytes per sample, transient within the rulebook
+    build.
+    """
+    B, V, _ = coords.shape
+    ncells = int(np.prod([int(s) for s in spatial_shape]))
+    valid = jnp.arange(V, dtype=jnp.int32)[None, :] < num_voxels[:, None]
+    keys = linearize(coords, spatial_shape)
+    # route invalid rows to a scratch cell one past the end
+    keys = jnp.where(valid, keys, ncells).astype(jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (B, V))
+
+    def one(k, r):
+        t = jnp.full((ncells + 1,), -1, dtype=jnp.int32)
+        return t.at[k].set(r, mode="drop")[:ncells]
+
+    return jax.vmap(one)(keys, rows)
+
+
+def lookup_dense(table, qkeys):
+    """Batched dense-table lookup.
+
+    table: [B, NC] int32; qkeys: [B, Q] (INVALID_QUERY = -1 for no-op).
+    Returns (idx [B, Q] int32 with misses undefined, found [B, Q] bool).
+    """
+    B, NC = table.shape
+    flat = table.reshape(B * NC)
+    offs = (jnp.arange(B, dtype=jnp.int32) * NC)[:, None]
+    gq = jnp.clip(qkeys, 0, NC - 1) + offs
+    idx = jnp.take(flat, gq.reshape(-1), axis=0).reshape(qkeys.shape)
+    found = (qkeys >= 0) & (idx >= 0)
+    return idx, found
+
+
 def build_hash_table(coords, num_voxels, spatial_shape):
     """Sort the voxel keys once; returns (sorted_keys [B,V], perm [B,V]).
 

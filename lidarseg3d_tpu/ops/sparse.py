@@ -38,12 +38,10 @@ def _triple(v):
 
 @struct.dataclass
 class SparseStructure:
-    """A padded active-voxel coordinate set + its hash table."""
+    """A padded active-voxel coordinate set (prefix-valid rows)."""
 
     coords: jnp.ndarray  # [B, V, 3] int32 (z, y, x); invalid rows = -1
     num_voxels: jnp.ndarray  # [B] int32
-    sorted_keys: jnp.ndarray  # [B, V] int32 (INVALID_KEY padding)
-    sort_perm: jnp.ndarray  # [B, V] int32
     spatial_shape: tuple = struct.field(pytree_node=False)  # (Z, Y, X)
 
     @property
@@ -83,16 +81,19 @@ class SparseTensor:
 
 
 def build_structure(coords, num_voxels, spatial_shape):
-    """Create a SparseStructure from (possibly unsorted) padded coords."""
+    """Create a SparseStructure from padded coords (any row order)."""
     coord_ops.check_shape_fits_int32(spatial_shape)
-    sorted_keys, perm = coord_ops.build_hash_table(coords, num_voxels, spatial_shape)
     return SparseStructure(
         coords=coords.astype(jnp.int32),
         num_voxels=num_voxels.astype(jnp.int32),
-        sorted_keys=sorted_keys,
-        sort_perm=perm,
         spatial_shape=tuple(int(s) for s in spatial_shape),
     )
+
+
+def dense_table(s: SparseStructure):
+    """Direct-address lookup table for structure ``s`` (transient; build once
+    per structure per forward and share across rulebooks)."""
+    return coord_ops.build_dense_table(s.coords, s.num_voxels, s.spatial_shape)
 
 
 def make_offsets(kernel_size):
@@ -101,64 +102,86 @@ def make_offsets(kernel_size):
     return list(itertools.product(range(kz), range(ky), range(kx)))
 
 
-def _gather_rows(feat_ext, idx):
-    """feat_ext [B, V+1, C], idx [B, Q] -> [B, Q, C]."""
-    return jnp.take_along_axis(feat_ext, idx[..., None], axis=1)
+def flatten_indices(idx, found, v_in):
+    """Per-sample local indices -> global flat indices into [B*V_in + 1, C].
+
+    idx: [B, Q] local row indices (misses arbitrary); found: [B, Q] bool.
+    Misses map to the shared zero row at position B*V_in.
+    """
+    B = idx.shape[0]
+    offs = (jnp.arange(B, dtype=jnp.int32) * v_in)[:, None]
+    return jnp.where(found, idx + offs, B * v_in).astype(jnp.int32)
 
 
-def _pad_features(features):
+def _flat_features(features):
+    """[B, V, C] -> [B*V + 1, C] with a trailing zero row for gather misses.
+
+    Flat 2D `take(axis=0)` is the fast gather lowering on TPU (a batched
+    take_along_axis compiles to a serial per-row loop; measured 14-70x
+    slower). See .claude/skills/verify/SKILL.md for measurement notes.
+    """
     B, V, C = features.shape
-    zero = jnp.zeros((B, 1, C), dtype=features.dtype)
-    return jnp.concatenate([features, zero], axis=1)
+    flat = features.reshape(B * V, C)
+    zero = jnp.zeros((1, C), dtype=features.dtype)
+    return jnp.concatenate([flat, zero], axis=0)
 
 
-def gather_gemm(feat_ext, idx_list, weights, group=9, out_dtype=jnp.float32):
-    """sum_k take(feat_ext, idx_list[k]) @ weights[k], grouped for the MXU.
+def gather_gemm(feat_flat_ext, gidx_list, weights, group=9, out_shape=None,
+                out_dtype=jnp.float32):
+    """sum_k take(feat_flat_ext, gidx_list[k]) @ weights[k].
 
-    feat_ext: [B, V_in + 1, Cin] (last row zeros)
-    idx_list: K arrays [B, V_out] int32 (misses -> V_in)
+    feat_flat_ext: [B*V_in + 1, Cin] (last row zeros)
+    gidx_list: K arrays [B, V_out] int32 GLOBAL flat indices (misses -> B*V_in)
     weights: [K, Cin, Cout]
+    Returns [B, V_out, Cout].
     """
     K, Cin, Cout = weights.shape
-    assert len(idx_list) == K
-    B, Vout = idx_list[0].shape
+    assert len(gidx_list) == K
+    B, Vout = gidx_list[0].shape
     acc = None
-    for g0 in range(0, K, group):
-        g = min(group, K - g0)
-        idx = jnp.stack(idx_list[g0 : g0 + g], axis=-1)  # [B, Vout, g]
-        gathered = jnp.take_along_axis(
-            feat_ext[:, :, None, :], idx[..., None], axis=1
-        )  # [B, Vout, g, Cin]
-        gathered = gathered.reshape(B, Vout, g * Cin)
-        w = weights[g0 : g0 + g].reshape(g * Cin, Cout)
+    for k in range(K):
+        g = jnp.take(feat_flat_ext, gidx_list[k].reshape(-1), axis=0)
         part = jnp.einsum(
-            "bvc,co->bvo", gathered, w, preferred_element_type=out_dtype
+            "nc,co->no", g, weights[k], preferred_element_type=out_dtype
         )
         acc = part if acc is None else acc + part
-    return acc
+    return acc.reshape(B, Vout, Cout)
 
 
-def subm_conv(st: SparseTensor, weights, kernel_size=3, group=9):
+def build_subm_rulebook(s: SparseStructure, kernel_size=3, table=None):
+    """Global gather indices for a submanifold conv on structure ``s``.
+
+    Returns a list of K arrays [B, V] of flat indices into [B*V + 1, C].
+    Shared by every subm conv with the same indice_key (reference semantics:
+    spconv indice_key reuse, scn_unet.py:90-159).
+    """
+    ks = _triple(kernel_size)
+    offsets = make_offsets(ks)
+    center = np.array([k // 2 for k in ks], dtype=np.int32)
+    V = s.capacity
+    if table is None:
+        table = dense_table(s)
+    valid = s.valid_mask()  # padded rows are (-1,-1,-1); an offset of +1 would
+    # otherwise alias them onto the real voxel at the origin
+    gidx_list = []
+    for off in offsets:
+        delta = np.array(off, dtype=np.int32) - center
+        q = s.coords + jnp.asarray(delta)[None, None, :]
+        qkeys = coord_ops.make_query_keys(q, s.spatial_shape, extra_valid=valid)
+        idx, found = coord_ops.lookup_dense(table, qkeys)
+        gidx_list.append(flatten_indices(idx, found, V))
+    return gidx_list
+
+
+def subm_conv(st: SparseTensor, weights, kernel_size=3, group=9, rulebook=None):
     """Submanifold sparse conv: output sites == input sites.
 
     weights: [K, Cin, Cout] with K = prod(kernel_size), taps in raster order.
     Returns features [B, V, Cout].
     """
-    ks = _triple(kernel_size)
-    offsets = make_offsets(ks)
-    center = np.array([k // 2 for k in ks], dtype=np.int32)
-    s = st.structure
-    feat_ext = _pad_features(st.features)
-    valid = s.valid_mask()  # padded rows are (-1,-1,-1); an offset of +1 would
-    # otherwise alias them onto the real voxel at the origin
-    idx_list = []
-    for off in offsets:
-        delta = np.array(off, dtype=np.int32) - center
-        q = s.coords + jnp.asarray(delta)[None, None, :]
-        qkeys = coord_ops.make_query_keys(q, s.spatial_shape, extra_valid=valid)
-        idx, _ = coord_ops.lookup(s.sorted_keys, s.sort_perm, qkeys)
-        idx_list.append(idx)
-    return gather_gemm(feat_ext, idx_list, weights, group=group)
+    if rulebook is None:
+        rulebook = build_subm_rulebook(st.structure, kernel_size)
+    return gather_gemm(_flat_features(st.features), rulebook, weights, group=group)
 
 
 def downsample_structure(st_struct: SparseStructure, stride, capacity):
@@ -169,19 +192,44 @@ def downsample_structure(st_struct: SparseStructure, stride, capacity):
     stride_arr = jnp.asarray([sz, sy, sx], dtype=jnp.int32)
     down = st_struct.coords // stride_arr[None, None, :]
     valid = st_struct.valid_mask()
-    out_coords, out_num, ukeys = coord_ops.unique_coords(
+    out_coords, out_num, _ = coord_ops.unique_coords(
         down, valid, out_shape, capacity
-    )
-    perm = jnp.broadcast_to(
-        jnp.arange(capacity, dtype=jnp.int32)[None, :], ukeys.shape
     )
     return SparseStructure(
         coords=out_coords,
         num_voxels=out_num,
-        sorted_keys=ukeys,
-        sort_perm=perm,
         spatial_shape=out_shape,
     )
+
+
+def build_strided_rulebook(
+    s_in: SparseStructure,
+    out_struct: SparseStructure,
+    kernel_size=3,
+    stride=2,
+    padding=1,
+    table=None,
+):
+    """Gather indices for a strided conv: input coord = o*stride + k - pad."""
+    ks = _triple(kernel_size)
+    sz = _triple(stride)
+    pad = _triple(padding)
+    if table is None:
+        table = dense_table(s_in)
+    stride_arr = jnp.asarray(sz, dtype=jnp.int32)
+    ovalid = out_struct.valid_mask()
+    gidx_list = []
+    for off in make_offsets(ks):
+        delta = np.array(off, dtype=np.int32) - np.array(pad, dtype=np.int32)
+        q = out_struct.coords * stride_arr[None, None, :] + jnp.asarray(delta)[
+            None, None, :
+        ]
+        # invalid output rows have coords=-1 -> q may still be in-bounds;
+        # mask them explicitly
+        qkeys = coord_ops.make_query_keys(q, s_in.spatial_shape, extra_valid=ovalid)
+        idx, found = coord_ops.lookup_dense(table, qkeys)
+        gidx_list.append(flatten_indices(idx, found, s_in.capacity))
+    return gidx_list
 
 
 def strided_conv(
@@ -192,31 +240,46 @@ def strided_conv(
     stride=2,
     padding=1,
     group=9,
+    rulebook=None,
 ):
-    """Strided sparse conv onto a precomputed output structure.
-
-    For output voxel o and tap k: input coord = o*stride + k - padding.
-    """
-    ks = _triple(kernel_size)
-    sz = _triple(stride)
-    pad = _triple(padding)
-    s_in = st.structure
-    feat_ext = _pad_features(st.features)
-    stride_arr = jnp.asarray(sz, dtype=jnp.int32)
-    idx_list = []
-    for off in make_offsets(ks):
-        delta = np.array(off, dtype=np.int32) - np.array(pad, dtype=np.int32)
-        q = out_struct.coords * stride_arr[None, None, :] + jnp.asarray(delta)[
-            None, None, :
-        ]
-        # invalid output rows have coords=-1 -> q may still be in-bounds;
-        # mask them explicitly
-        qkeys = coord_ops.make_query_keys(
-            q, s_in.spatial_shape, extra_valid=out_struct.valid_mask()
+    """Strided sparse conv onto a precomputed output structure."""
+    if rulebook is None:
+        rulebook = build_strided_rulebook(
+            st.structure, out_struct, kernel_size, stride, padding
         )
-        idx, _ = coord_ops.lookup(s_in.sorted_keys, s_in.sort_perm, qkeys)
-        idx_list.append(idx)
-    return gather_gemm(feat_ext, idx_list, weights, group=group)
+    return gather_gemm(_flat_features(st.features), rulebook, weights, group=group)
+
+
+def build_inverse_rulebook(
+    s_low: SparseStructure,
+    target_struct: SparseStructure,
+    kernel_size=3,
+    stride=2,
+    padding=1,
+    table=None,
+):
+    """Gather indices for the inverse conv: source d = (t + pad - k) / stride,
+    valid iff the division is exact. Exact transpose of the strided gather
+    pattern, i.e. spconv SparseInverseConv3d indice_key reuse."""
+    ks = _triple(kernel_size)
+    sz = np.array(_triple(stride), dtype=np.int32)
+    pad = np.array(_triple(padding), dtype=np.int32)
+    if table is None:
+        table = dense_table(s_low)
+    tvalid = target_struct.valid_mask()
+    gidx_list = []
+    for off in make_offsets(ks):
+        num = target_struct.coords + jnp.asarray(
+            pad - np.array(off, dtype=np.int32)
+        )[None, None, :]
+        exact = jnp.all(num % jnp.asarray(sz)[None, None, :] == 0, axis=-1)
+        q = num // jnp.asarray(sz)[None, None, :]
+        qkeys = coord_ops.make_query_keys(
+            q, s_low.spatial_shape, extra_valid=exact & tvalid
+        )
+        idx, found = coord_ops.lookup_dense(table, qkeys)
+        gidx_list.append(flatten_indices(idx, found, s_low.capacity))
+    return gidx_list
 
 
 def inverse_conv(
@@ -227,33 +290,14 @@ def inverse_conv(
     stride=2,
     padding=1,
     group=9,
+    rulebook=None,
 ):
-    """Inverse (transposed) sparse conv back onto a stored high-res structure.
-
-    For target (output) voxel t and tap k: source coord
-    d = (t + padding - k) / stride, valid iff the division is exact. This is
-    the exact transpose of :func:`strided_conv`'s gather pattern, i.e.
-    spconv's SparseInverseConv3d indice_key reuse.
-    """
-    ks = _triple(kernel_size)
-    sz = np.array(_triple(stride), dtype=np.int32)
-    pad = np.array(_triple(padding), dtype=np.int32)
-    s_low = st_low.structure
-    feat_ext = _pad_features(st_low.features)
-    tvalid = target_struct.valid_mask()
-    idx_list = []
-    for off in make_offsets(ks):
-        num = target_struct.coords + jnp.asarray(
-            pad - np.array(off, dtype=np.int32)
-        )[None, None, :]
-        exact = jnp.all(num % jnp.asarray(sz)[None, None, :] == 0, axis=-1)
-        q = num // jnp.asarray(sz)[None, None, :]
-        qkeys = coord_ops.make_query_keys(
-            q, s_low.spatial_shape, extra_valid=exact & tvalid
+    """Inverse (transposed) sparse conv back onto a stored high-res structure."""
+    if rulebook is None:
+        rulebook = build_inverse_rulebook(
+            st_low.structure, target_struct, kernel_size, stride, padding
         )
-        idx, _ = coord_ops.lookup(s_low.sorted_keys, s_low.sort_perm, qkeys)
-        idx_list.append(idx)
-    return gather_gemm(feat_ext, idx_list, weights, group=group)
+    return gather_gemm(_flat_features(st_low.features), rulebook, weights, group=group)
 
 
 def voxel_centers(st_struct: SparseStructure, voxel_size, point_cloud_range):

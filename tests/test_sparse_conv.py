@@ -158,13 +158,14 @@ def test_inverse_conv_matches_oracle():
             np.testing.assert_allclose(up[b, j], expect, rtol=1e-4, atol=1e-4)
 
 
-def test_hash_lookup_roundtrip():
+def test_dense_lookup_roundtrip():
     rng = np.random.default_rng(5)
     shape = (9, 11, 13)
     coords, _, nums, _ = make_random_sparse(rng, 2, 50, shape, 1, 0.1)
     s = sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape)
+    table = sp.dense_table(s)
     qkeys = co.make_query_keys(jnp.asarray(coords), shape)
-    idx, found = co.lookup(s.sorted_keys, s.sort_perm, qkeys)
+    idx, found = co.lookup_dense(table, qkeys)
     idx, found = np.asarray(idx), np.asarray(found)
     for b in range(2):
         # every valid coord must find itself
@@ -172,4 +173,23 @@ def test_hash_lookup_roundtrip():
         assert found[b, : nums[b]].all()
         # padded rows (coords=-1) must miss
         assert not found[b, nums[b]:].any()
-        assert (idx[b, nums[b]:] == 50).all()
+
+
+def test_sorted_lookup_matches_dense():
+    rng = np.random.default_rng(6)
+    shape = (7, 9, 8)
+    coords, _, nums, _ = make_random_sparse(rng, 2, 40, shape, 1, 0.15)
+    cj, nj = jnp.asarray(coords), jnp.asarray(nums)
+    s = sp.build_structure(cj, nj, shape)
+    table = sp.dense_table(s)
+    # arbitrary queries incl. misses and out-of-bounds
+    q = jnp.asarray(rng.integers(-2, 9, size=(2, 100, 3)).astype(np.int32))
+    qkeys = co.make_query_keys(q, shape)
+    d_idx, d_found = co.lookup_dense(table, qkeys)
+    sk, perm = co.build_hash_table(cj, nj, shape)
+    s_idx, s_found = co.lookup(sk, perm, qkeys)
+    np.testing.assert_array_equal(np.asarray(d_found), np.asarray(s_found))
+    np.testing.assert_array_equal(
+        np.where(np.asarray(d_found), np.asarray(d_idx), -7),
+        np.where(np.asarray(s_found), np.asarray(s_idx), -7),
+    )
