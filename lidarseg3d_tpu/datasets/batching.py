@@ -1,0 +1,73 @@
+"""Assemble padded, fixed-capacity device batches from per-frame host data.
+
+Replaces the reference's ragged concat collate
+(/root/reference/det3d/torchie/parallel/collate.py:95-175) with static-shape
+[B, V, ...] / [B, N, ...] padding — the TPU-native layout (SURVEY.md §7.1).
+"""
+
+import numpy as np
+
+
+def pad_axis0(arr, size, fill=0):
+    """Pad/truncate arr along axis 0 to `size`."""
+    n = min(arr.shape[0], size)
+    out = np.full((size,) + arr.shape[1:], fill, dtype=arr.dtype)
+    out[:n] = arr[:n]
+    return out
+
+
+def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
+    """frames: list of per-frame dicts from the pipeline with keys
+    voxels [v,P,D], coordinates [v,3] zyx, num_points_per_voxel [v],
+    points [n,D], and optionally voxel_sem_labels [v] / point_sem_labels [n].
+
+    Returns a dict of stacked numpy arrays (B leading).
+    """
+    B = len(frames)
+    out = {
+        "voxels": [], "coordinates": [], "num_points": [], "num_voxels": [],
+        "points": [], "num_points_total": [],
+    }
+    has_labels = "voxel_sem_labels" in frames[0]
+    if has_labels:
+        out["voxel_sem_labels"] = []
+        out["point_sem_labels"] = []
+    metadata = []
+
+    for fr in frames:
+        v = min(fr["voxels"].shape[0], max_voxels)
+        n = min(fr["points"].shape[0], max_points)
+        out["voxels"].append(pad_axis0(fr["voxels"], max_voxels))
+        out["coordinates"].append(
+            pad_axis0(fr["coordinates"].astype(np.int32), max_voxels, fill=-1)
+        )
+        out["num_points"].append(
+            pad_axis0(fr["num_points_per_voxel"].astype(np.int32), max_voxels)
+        )
+        out["num_voxels"].append(np.int32(v))
+        out["points"].append(pad_axis0(fr["points"].astype(np.float32), max_points))
+        out["num_points_total"].append(np.int32(n))
+        if has_labels:
+            out["voxel_sem_labels"].append(
+                pad_axis0(
+                    fr["voxel_sem_labels"].astype(np.int32), max_voxels,
+                    fill=ignore_label,
+                )
+            )
+            out["point_sem_labels"].append(
+                pad_axis0(
+                    fr["point_sem_labels"].astype(np.int32), max_points,
+                    fill=ignore_label,
+                )
+            )
+        metadata.append(fr.get("metadata"))
+
+    batch = {k: np.stack(v) for k, v in out.items()}
+    batch["point_valid"] = (
+        np.arange(max_points)[None, :] < batch["num_points_total"][:, None]
+    )
+    batch["voxel_valid"] = (
+        np.arange(max_voxels)[None, :] < batch["num_voxels"][:, None]
+    )
+    batch["metadata"] = metadata
+    return batch

@@ -1,0 +1,122 @@
+"""Point devoxelization: 3-NN inverse-distance interpolation of voxel features.
+
+TPU-native replacement for the pointnet2 CUDA three_nn/three_interpolate pair
+(/root/reference/det3d/ops/pointnet2_batch, used via
+det3d/models/point_heads/point_utils.py:8-52). Instead of a brute-force
+O(N*V) scan, the default path exploits the voxel grid itself: the 3 nearest
+active-voxel centers to a point are (essentially always) inside the point's
+3x3x3 voxel neighborhood, so we look up 27 candidates in the dense table and
+keep the best 3 by squared distance — O(27*N) with gathers instead of a
+distance matrix. Weights are 1/(d^2 + 1e-8), normalized (the CUDA three_nn
+returns squared distances, which the reference feeds to the reciprocal).
+
+`exact_three_nn` (chunked brute force) is provided for tests / parity checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import coords as coord_ops
+from . import sparse as sp
+
+
+def _point_voxel_coords(points_xyz, voxel_size, point_cloud_range):
+    """xyz points -> integer voxel coords in (z, y, x) order."""
+    vs = jnp.asarray(voxel_size, dtype=jnp.float32)
+    org = jnp.asarray(point_cloud_range[:3], dtype=jnp.float32)
+    cxyz = jnp.floor((points_xyz - org[None, None, :]) / vs[None, None, :])
+    return cxyz[..., ::-1].astype(jnp.int32)
+
+
+def grid_three_interpolate(
+    points_xyz,
+    point_valid,
+    struct: sp.SparseStructure,
+    features,
+    voxel_size,
+    point_cloud_range,
+    table=None,
+    k=3,
+):
+    """Interpolate voxel features at point locations via the 27-neighborhood.
+
+    points_xyz: [B, N, 3] metric xyz; point_valid: [B, N] bool.
+    struct/features: the stride-1 sparse tensor ([B, V, C]).
+    Returns [B, N, C].
+    """
+    B, N, _ = points_xyz.shape
+    V = struct.capacity
+    C = features.shape[-1]
+    if table is None:
+        table = sp.dense_table(struct)
+    centers = sp.voxel_centers(struct, voxel_size, point_cloud_range)  # [B,V,3]
+    centers_flat = jnp.concatenate(
+        [centers.reshape(B * V, 3), jnp.zeros((1, 3), centers.dtype)], axis=0
+    )
+    pv = _point_voxel_coords(points_xyz, voxel_size, point_cloud_range)
+
+    INF = jnp.asarray(jnp.inf, dtype=jnp.float32)
+    best_d = jnp.full((k, B, N), jnp.inf, dtype=jnp.float32)
+    best_i = jnp.full((k, B, N), B * V, dtype=jnp.int32)
+
+    for off in sp.make_offsets(3):
+        delta = np.array(off, dtype=np.int32) - 1
+        q = pv + jnp.asarray(delta)[None, None, :]
+        qkeys = coord_ops.make_query_keys(q, struct.spatial_shape, extra_valid=point_valid)
+        idx, found = coord_ops.lookup_dense(table, qkeys)
+        gidx = sp.flatten_indices(idx, found, V)  # [B, N]
+        cand = jnp.take(centers_flat, gidx.reshape(-1), axis=0).reshape(B, N, 3)
+        d2 = jnp.sum((points_xyz - cand) ** 2, axis=-1)
+        d2 = jnp.where(found, d2, INF)
+        # insertion into running best-k (k static, small)
+        for j in range(k):
+            smaller = d2 < best_d[j]
+            new_d = jnp.where(smaller, d2, best_d[j])
+            new_i = jnp.where(smaller, gidx, best_i[j])
+            d2 = jnp.where(smaller, best_d[j], d2)
+            gidx = jnp.where(smaller, best_i[j], gidx)
+            best_d = best_d.at[j].set(new_d)
+            best_i = best_i.at[j].set(new_i)
+
+    feats_flat = sp._flat_features(features)  # [B*V + 1, C]
+    recip = jnp.where(jnp.isfinite(best_d), 1.0 / (best_d + 1e-8), 0.0)  # [k,B,N]
+    norm = jnp.sum(recip, axis=0)
+    w = recip / jnp.maximum(norm, 1e-12)
+    out = jnp.zeros((B, N, C), dtype=features.dtype)
+    for j in range(k):
+        g = jnp.take(feats_flat, best_i[j].reshape(-1), axis=0).reshape(B, N, C)
+        out = out + g * w[j][..., None]
+    return out * point_valid[..., None].astype(out.dtype)
+
+
+def exact_three_nn(points_xyz, ref_xyz, ref_valid, k=3, chunk=4096):
+    """Brute-force k-NN (squared distances), chunked over the reference set.
+
+    points_xyz: [N, 3]; ref_xyz: [V, 3]; ref_valid: [V] bool.
+    Returns (d2 [N, k], idx [N, k]).
+    """
+    N = points_xyz.shape[0]
+    V = ref_xyz.shape[0]
+    best_d = jnp.full((N, k), jnp.inf, dtype=jnp.float32)
+    best_i = jnp.full((N, k), V, dtype=jnp.int32)
+
+    nchunks = -(-V // chunk)
+    pad = nchunks * chunk - V
+    ref_p = jnp.pad(ref_xyz, ((0, pad), (0, 0)))
+    val_p = jnp.pad(ref_valid, (0, pad))
+
+    def body(c, carry):
+        bd, bi = carry
+        r = jax.lax.dynamic_slice(ref_p, (c * chunk, 0), (chunk, 3))
+        v = jax.lax.dynamic_slice(val_p, (c * chunk,), (chunk,))
+        d2 = jnp.sum((points_xyz[:, None, :] - r[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(v[None, :], d2, jnp.inf)
+        idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        alld = jnp.concatenate([bd, d2], axis=1)
+        alli = jnp.concatenate([bi, jnp.broadcast_to(idx[None, :], (N, chunk))], axis=1)
+        nd, sel = jax.lax.top_k(-alld, k)
+        return (-nd, jnp.take_along_axis(alli, sel, axis=1))
+
+    best_d, best_i = jax.lax.fori_loop(0, nchunks, body, (best_d, best_i))
+    return best_d, best_i

@@ -6,6 +6,7 @@ while the registered classes themselves are JAX/Flax modules.
 """
 
 import inspect
+from collections.abc import Mapping
 
 
 class Registry:
@@ -42,7 +43,7 @@ class Registry:
 
 def build_from_cfg(cfg, registry, default_args=None):
     """Instantiate an object from a ``dict(type=..., **kwargs)`` config."""
-    if not isinstance(cfg, dict) or "type" not in cfg:
+    if not isinstance(cfg, Mapping) or "type" not in cfg:
         raise TypeError(f"cfg must be a dict with a 'type' key, got {cfg!r}")
     args = dict(cfg)
     obj_type = args.pop("type")
