@@ -1,0 +1,6 @@
+from .registry import DATASETS, PIPELINES
+from .builder import build_dataset
+from .pipelines import compose, loading, seg_preprocess  # noqa: F401 (registration)
+from .semantickitti import dataset as _semkitti  # noqa: F401
+from .loader import SegDataLoader, EpochSampler
+from .batching import collate_segnet

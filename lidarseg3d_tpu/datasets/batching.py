@@ -32,6 +32,12 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
     if has_labels:
         out["voxel_sem_labels"] = []
         out["point_sem_labels"] = []
+    has_images = "images" in frames[0]
+    if has_images:
+        out["images"] = []
+        out["points_cuv"] = []
+        if "images_sem_labels" in frames[0]:
+            out["images_sem_labels"] = []
     metadata = []
 
     for fr in frames:
@@ -47,6 +53,14 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
         out["num_voxels"].append(np.int32(v))
         out["points"].append(pad_axis0(fr["points"].astype(np.float32), max_points))
         out["num_points_total"].append(np.int32(n))
+        if has_images:
+            out["images"].append(fr["images"])
+            cuv = pad_axis0(fr["points_cuv"].astype(np.float32), max_points)
+            out["points_cuv"].append(cuv)
+            if "images_sem_labels" in fr:
+                out["images_sem_labels"].append(
+                    fr["images_sem_labels"].astype(np.int32)
+                )
         if has_labels:
             out["voxel_sem_labels"].append(
                 pad_axis0(
@@ -62,7 +76,11 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
             )
         metadata.append(fr.get("metadata"))
 
-    batch = {k: np.stack(v) for k, v in out.items()}
+    batch = {
+        k: (np.concatenate(v, axis=0) if k == "images_sem_labels"
+            else np.stack(v))
+        for k, v in out.items()
+    }  # images_sem_labels: [B*ncam, H, W]
     batch["point_valid"] = (
         np.arange(max_points)[None, :] < batch["num_points_total"][:, None]
     )
@@ -71,3 +89,24 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
     )
     batch["metadata"] = metadata
     return batch
+
+
+def pad_batch_rows(batch, multiple):
+    """Pad the batch dim to a multiple of the device count with empty rows
+    (num_voxels = 0, all masks False). metadata is NOT padded — consumers
+    iterate over metadata to skip dummy rows."""
+    B = batch["voxels"].shape[0]
+    pad = (-B) % multiple
+    if pad == 0:
+        return batch
+    ncam = batch["images"].shape[1] if "images" in batch else 1
+    out = {}
+    for k, v in batch.items():
+        if k == "metadata":
+            out[k] = v
+        else:
+            p = pad * ncam if k == "images_sem_labels" else pad
+            out[k] = np.concatenate(
+                [v, np.zeros((p,) + v.shape[1:], dtype=v.dtype)], axis=0
+            )
+    return out

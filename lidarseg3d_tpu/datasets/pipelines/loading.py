@@ -1,0 +1,164 @@
+"""Point cloud / annotation loading stages.
+
+Mirrors det3d/datasets/pipelines/loading.py for the segmentation datasets:
+KITTI .bin scans ([x,y,z,intensity] float32), labels = uint32 with
+semantics in the low 16 bits, learning-map remap.
+"""
+
+import numpy as np
+
+from ..registry import PIPELINES
+
+
+def read_calib_semantickitti(calib_path):
+    """Parse a SemanticKITTI calib.txt -> dict of P0..P3 [3,4] and Tr [4,4]."""
+    out = {}
+    with open(calib_path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, vals = line.split(":", 1)
+            arr = np.array([float(x) for x in vals.split()], np.float32)
+            out[key.strip()] = arr.reshape(3, 4)
+    tr = np.eye(4, dtype=np.float32)
+    tr[:3, :4] = out["Tr"]
+    out["Tr"] = tr
+    return out
+
+
+def select_points_in_frustum(pts_2d, x1, y1, x2, y2):
+    return (
+        (pts_2d[:, 0] >= x1) & (pts_2d[:, 0] < x2)
+        & (pts_2d[:, 1] >= y1) & (pts_2d[:, 1] < y2)
+    )
+
+
+@PIPELINES.register_module
+class LoadPointCloudFromFile:
+    def __init__(self, dataset="SemanticKITTIDataset", use_img=False, **kwargs):
+        self.type = dataset
+        self.use_img = use_img
+
+    def _kitti_points_cp(self, points, path):
+        """Per-point [cam_id, w, h] camera projection via P2 @ Tr
+        (loading.py:302-334); cam_id 1-based, invalid rows = -100."""
+        calib_path = path[: -len("velodyne/000000.bin")] + "calib.txt"
+        calib = read_calib_semantickitti(calib_path)
+        proj = calib["P2"] @ calib["Tr"]  # [3, 4]
+        hpts = np.concatenate(
+            [points[:, :3], np.ones((len(points), 1), np.float32)], axis=1
+        )
+        img_pts = (proj @ hpts.T).T
+        img_pts = img_pts[:, :2] / np.maximum(img_pts[:, 2:3], 1e-6)
+        im_width, im_height = 1224, 370
+        mask = select_points_in_frustum(img_pts, 0, 0, im_width, im_height)
+        mask &= points[:, 0] > 0  # points in front of the car
+        cp = np.full((len(points), 3), -100.0, np.float32)
+        cp[mask, 0] = 1
+        cp[mask, 1:3] = img_pts[mask]
+        return cp
+
+    def __call__(self, sample, info):
+        sample["type"] = self.type
+        if self.type == "SemanticKITTIDataset":
+            points = np.fromfile(info["path"], dtype=np.float32).reshape(-1, 4)
+            sample["points"] = points
+            if self.use_img:
+                sample["points_cp"] = self._kitti_points_cp(points, info["path"])
+        elif self.type == "SemanticNuscDataset":
+            # [x, y, z, intensity, (ring)] float32 rows of 5
+            raw = np.fromfile(info["lidar_path"], dtype=np.float32).reshape(-1, 5)
+            sample["points"] = raw[:, :4]
+        else:
+            raise NotImplementedError(self.type)
+        return sample, info
+
+
+@PIPELINES.register_module
+class LoadPointCloudAnnotations:
+    def __init__(self, with_bbox=False, **kwargs):
+        self.with_bbox = with_bbox
+
+    def __call__(self, sample, info):
+        if sample["type"] == "SemanticKITTIDataset":
+            label_path = (
+                info["path"].replace("velodyne", "labels").replace(".bin", ".label")
+            )
+            raw = np.fromfile(label_path, dtype=np.uint32).reshape(-1)
+            sem = (raw & 0xFFFF).astype(np.int64)
+            inst = (raw >> 16).astype(np.int64)
+            lut = info["remap_lut"]
+            sample["annotations"] = {
+                "point_sem_labels": lut[sem].astype(np.int32),
+                "point_inst_labels": inst.astype(np.int32),
+            }
+        elif sample["type"] == "SemanticNuscDataset":
+            raw = np.fromfile(info["lidarseg_path"], dtype=np.uint8).reshape(-1)
+            lut = info["remap_lut"]
+            sample["annotations"] = {
+                "point_sem_labels": lut[raw.astype(np.int64)].astype(np.int32),
+                "point_inst_labels": np.zeros(len(raw), np.int32),
+            }
+        else:
+            raise NotImplementedError(sample["type"])
+        return sample, info
+
+
+@PIPELINES.register_module
+class LoadImageFromFile:
+    """cv2 BGR reads of the per-frame camera set (loading.py:525-576)."""
+
+    def __init__(self, use_img=True, **kwargs):
+        self.use_img = use_img
+
+    def __call__(self, sample, info):
+        if not self.use_img:
+            return sample, info
+        import cv2
+
+        if sample["type"] == "SemanticKITTIDataset":
+            img_path = (
+                info["path"].replace("velodyne", "image_2").replace(".bin", ".png")
+            )
+            cam_paths = {"1": img_path}
+        else:
+            cam_paths = info["cam_paths"]
+        cam_names = info["cam"]["names"]
+        sample["images"] = [cv2.imread(cam_paths[c]) for c in cam_names]
+        return sample, info
+
+
+@PIPELINES.register_module
+class LoadImageAnnotations:
+    """Paint sparse pixel GT by splatting projected point labels
+    (loading.py:580-641)."""
+
+    def __init__(self, points_cp_radius=1, use_img=True, **kwargs):
+        self.points_cp_radius = points_cp_radius
+        self.use_img = use_img
+
+    def __call__(self, sample, info):
+        if not self.use_img:
+            return sample, info
+        import cv2
+
+        cam_names = info["cam"]["names"]
+        points_cp = sample["points_cp"]
+        labels = sample["annotations"]["point_sem_labels"]
+        sem_maps = []
+        for cam_id, img in zip(cam_names, sample["images"]):
+            H, W = img.shape[:2]
+            m = np.zeros((H, W), dtype=np.uint8)
+            sel = points_cp[:, 0] == int(cam_id)
+            ws = points_cp[sel, 1]
+            hs = points_cp[sel, 2]
+            ls = labels[sel]
+            for i in range(len(ws)):
+                if ls[i] > 0:
+                    cv2.circle(
+                        m, (int(ws[i]), int(hs[i])), self.points_cp_radius,
+                        int(ls[i]), -1,
+                    )
+            sem_maps.append(m)
+        sample["image_sem_labels"] = sem_maps
+        return sample, info

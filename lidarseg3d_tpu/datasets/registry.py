@@ -1,0 +1,6 @@
+"""Dataset/pipeline registries (cf. det3d/datasets/registry.py)."""
+
+from ..utils.registry import Registry
+
+DATASETS = Registry("dataset")
+PIPELINES = Registry("pipeline")

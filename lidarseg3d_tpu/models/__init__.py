@@ -7,6 +7,14 @@ from .builder import (
     build_img_backbone, build_img_head, build_detector,
 )
 from .readers import voxel_encoders  # noqa: F401  (registration)
+from .readers import dynamic_vfe  # noqa: F401
 from .backbones import unet_scn  # noqa: F401
+from .backbones import polarnet_unet  # noqa: F401
+from .img_backbones import hrnet  # noqa: F401
+from .img_heads import fcn_mseg3d_head  # noqa: F401
 from .point_heads import batchloss_head  # noqa: F401
+from .point_heads import polarnet_head  # noqa: F401
+from .point_heads import mseg3d_head  # noqa: F401
 from .segmentors import seg_net  # noqa: F401
+from .segmentors import seg_polarnet  # noqa: F401
+from .segmentors import seg_mseg3d  # noqa: F401

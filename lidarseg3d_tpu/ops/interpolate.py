@@ -56,28 +56,25 @@ def grid_three_interpolate(
     )
     pv = _point_voxel_coords(points_xyz, voxel_size, point_cloud_range)
 
-    INF = jnp.asarray(jnp.inf, dtype=jnp.float32)
-    best_d = jnp.full((k, B, N), jnp.inf, dtype=jnp.float32)
-    best_i = jnp.full((k, B, N), B * V, dtype=jnp.int32)
+    deltas = jnp.asarray(np.array(sp.make_offsets(3), np.int32) - 1)  # [27,3]
 
-    for off in sp.make_offsets(3):
-        delta = np.array(off, dtype=np.int32) - 1
-        q = pv + jnp.asarray(delta)[None, None, :]
-        qkeys = coord_ops.make_query_keys(q, struct.spatial_shape, extra_valid=point_valid)
+    def one(delta):
+        q = pv + delta[None, None, :]
+        qkeys = coord_ops.make_query_keys(
+            q, struct.spatial_shape, extra_valid=point_valid
+        )
         idx, found = coord_ops.lookup_dense(table, qkeys)
         gidx = sp.flatten_indices(idx, found, V)  # [B, N]
         cand = jnp.take(centers_flat, gidx.reshape(-1), axis=0).reshape(B, N, 3)
         d2 = jnp.sum((points_xyz - cand) ** 2, axis=-1)
-        d2 = jnp.where(found, d2, INF)
-        # insertion into running best-k (k static, small)
-        for j in range(k):
-            smaller = d2 < best_d[j]
-            new_d = jnp.where(smaller, d2, best_d[j])
-            new_i = jnp.where(smaller, gidx, best_i[j])
-            d2 = jnp.where(smaller, best_d[j], d2)
-            gidx = jnp.where(smaller, best_i[j], gidx)
-            best_d = best_d.at[j].set(new_d)
-            best_i = best_i.at[j].set(new_i)
+        return jnp.where(found, d2, jnp.inf), gidx
+
+    cand_d, cand_i = jax.vmap(one)(deltas)  # [27, B, N]
+    neg_top, arg = jax.lax.top_k(-jnp.moveaxis(cand_d, 0, -1), k)  # [B, N, k]
+    best_d = jnp.moveaxis(-neg_top, -1, 0)  # [k, B, N]
+    best_i = jnp.moveaxis(
+        jnp.take_along_axis(jnp.moveaxis(cand_i, 0, -1), arg, axis=-1), -1, 0
+    )
 
     feats_flat = sp._flat_features(features)  # [B*V + 1, C]
     recip = jnp.where(jnp.isfinite(best_d), 1.0 / (best_d + 1e-8), 0.0)  # [k,B,N]

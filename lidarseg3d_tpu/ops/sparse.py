@@ -126,26 +126,32 @@ def _flat_features(features):
     return jnp.concatenate([flat, zero], axis=0)
 
 
-def gather_gemm(feat_flat_ext, gidx_list, weights, group=9, out_shape=None,
+def gather_gemm(feat_flat_ext, gidx, weights, group=9, out_shape=None,
                 out_dtype=jnp.float32):
-    """sum_k take(feat_flat_ext, gidx_list[k]) @ weights[k].
+    """sum_k take(feat_flat_ext, gidx[k]) @ weights[k], scanned over taps.
 
     feat_flat_ext: [B*V_in + 1, Cin] (last row zeros)
-    gidx_list: K arrays [B, V_out] int32 GLOBAL flat indices (misses -> B*V_in)
+    gidx: [K, B, V_out] int32 GLOBAL flat indices (misses -> B*V_in)
     weights: [K, Cin, Cout]
     Returns [B, V_out, Cout].
+
+    lax.scan keeps the compiled graph tiny (the unrolled form made full-model
+    compiles take ~10 minutes); measured runtime is identical because the
+    per-tap gathers execute serially either way (see verify SKILL.md).
     """
     K, Cin, Cout = weights.shape
-    assert len(gidx_list) == K
-    B, Vout = gidx_list[0].shape
-    acc = None
-    for k in range(K):
-        g = jnp.take(feat_flat_ext, gidx_list[k].reshape(-1), axis=0)
-        part = jnp.einsum(
-            "nc,co->no", g, weights[k], preferred_element_type=out_dtype
-        )
-        acc = part if acc is None else acc + part
-    return acc.reshape(B, Vout, Cout)
+    assert gidx.shape[0] == K
+    _, B, Vout = gidx.shape
+
+    def body(acc, kw):
+        idx_k, w_k = kw
+        g = jnp.take(feat_flat_ext, idx_k.reshape(-1), axis=0)
+        part = jnp.einsum("nc,co->no", g, w_k, preferred_element_type=out_dtype)
+        return acc + part, None
+
+    acc = jnp.zeros((B * Vout, Cout), out_dtype)
+    acc, _ = jax.lax.scan(body, acc, (gidx, weights))
+    return acc.reshape(B, Vout, Cout).astype(feat_flat_ext.dtype)
 
 
 def build_subm_rulebook(s: SparseStructure, kernel_size=3, table=None):
@@ -163,14 +169,15 @@ def build_subm_rulebook(s: SparseStructure, kernel_size=3, table=None):
         table = dense_table(s)
     valid = s.valid_mask()  # padded rows are (-1,-1,-1); an offset of +1 would
     # otherwise alias them onto the real voxel at the origin
-    gidx_list = []
-    for off in offsets:
-        delta = np.array(off, dtype=np.int32) - center
-        q = s.coords + jnp.asarray(delta)[None, None, :]
+    deltas = jnp.asarray(np.array(offsets, np.int32) - center[None, :])
+
+    def one(delta):
+        q = s.coords + delta[None, None, :]
         qkeys = coord_ops.make_query_keys(q, s.spatial_shape, extra_valid=valid)
         idx, found = coord_ops.lookup_dense(table, qkeys)
-        gidx_list.append(flatten_indices(idx, found, V))
-    return gidx_list
+        return flatten_indices(idx, found, V)
+
+    return jax.vmap(one)(deltas)  # [K, B, V]
 
 
 def subm_conv(st: SparseTensor, weights, kernel_size=3, group=9, rulebook=None):
@@ -218,18 +225,20 @@ def build_strided_rulebook(
         table = dense_table(s_in)
     stride_arr = jnp.asarray(sz, dtype=jnp.int32)
     ovalid = out_struct.valid_mask()
-    gidx_list = []
-    for off in make_offsets(ks):
-        delta = np.array(off, dtype=np.int32) - np.array(pad, dtype=np.int32)
-        q = out_struct.coords * stride_arr[None, None, :] + jnp.asarray(delta)[
-            None, None, :
-        ]
+    deltas = jnp.asarray(
+        np.array(make_offsets(ks), np.int32) - np.array(pad, np.int32)[None, :]
+    )
+    base = out_struct.coords * stride_arr[None, None, :]
+
+    def one(delta):
         # invalid output rows have coords=-1 -> q may still be in-bounds;
         # mask them explicitly
+        q = base + delta[None, None, :]
         qkeys = coord_ops.make_query_keys(q, s_in.spatial_shape, extra_valid=ovalid)
         idx, found = coord_ops.lookup_dense(table, qkeys)
-        gidx_list.append(flatten_indices(idx, found, s_in.capacity))
-    return gidx_list
+        return flatten_indices(idx, found, s_in.capacity)
+
+    return jax.vmap(one)(deltas)
 
 
 def strided_conv(
@@ -267,19 +276,22 @@ def build_inverse_rulebook(
     if table is None:
         table = dense_table(s_low)
     tvalid = target_struct.valid_mask()
-    gidx_list = []
-    for off in make_offsets(ks):
-        num = target_struct.coords + jnp.asarray(
-            pad - np.array(off, dtype=np.int32)
-        )[None, None, :]
-        exact = jnp.all(num % jnp.asarray(sz)[None, None, :] == 0, axis=-1)
-        q = num // jnp.asarray(sz)[None, None, :]
+    deltas = jnp.asarray(
+        pad[None, :] - np.array(make_offsets(ks), np.int32)
+    )
+    stride_arr = jnp.asarray(sz)
+
+    def one(delta):
+        num = target_struct.coords + delta[None, None, :]
+        exact = jnp.all(num % stride_arr[None, None, :] == 0, axis=-1)
+        q = num // stride_arr[None, None, :]
         qkeys = coord_ops.make_query_keys(
             q, s_low.spatial_shape, extra_valid=exact & tvalid
         )
         idx, found = coord_ops.lookup_dense(table, qkeys)
-        gidx_list.append(flatten_indices(idx, found, s_low.capacity))
-    return gidx_list
+        return flatten_indices(idx, found, s_low.capacity)
+
+    return jax.vmap(one)(deltas)
 
 
 def inverse_conv(

@@ -1,0 +1,159 @@
+"""SegMSeg3DNet end-to-end smoke test: tiny HRNet + fusion head on
+synthetic multi-camera scans."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidarseg3d_tpu.models import build_detector
+
+PCR = [-4.0, -4.0, -1.0, 4.0, 4.0, 1.0]
+VSZ = [0.25, 0.25, 0.25]
+NCLS = 8
+NCAM = 2
+IMH, IMW = 32, 64
+
+TINY_HRNET = dict(
+    stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK",
+                num_blocks=(1,), num_channels=(8,)),
+    stage2=dict(num_modules=1, num_branches=2, block="BASIC",
+                num_blocks=(1, 1), num_channels=(4, 8)),
+    stage3=dict(num_modules=1, num_branches=3, block="BASIC",
+                num_blocks=(1, 1, 1), num_channels=(4, 8, 16)),
+    stage4=dict(num_modules=1, num_branches=4, block="BASIC",
+                num_blocks=(1, 1, 1, 1), num_channels=(4, 8, 16, 32)),
+)
+
+
+def model_cfg():
+    return dict(
+        type="SegMSeg3DNet",
+        img_backbone=dict(type="HRNet", extra=TINY_HRNET, frozen_stages=-1),
+        img_head=dict(
+            type="FCNMSeg3DHead", in_channels=(4, 8, 16, 32),
+            in_index=(0, 1, 2, 3), channels=12, num_convs=1,
+            num_classes=NCLS, ignore_index=0, loss_weight=0.5,
+            concat_input=False,
+        ),
+        reader=dict(type="ImprovedMeanVoxelFeatureExtractor",
+                    num_input_features=4),
+        backbone=dict(type="UNetSCN3D", num_input_features=12,
+                      point_cloud_range=PCR, voxel_size=VSZ,
+                      model_cfg=dict(SCALING_RATIO=1)),
+        point_head=dict(
+            type="PointSegMSeg3DHead", class_agnostic=False, num_class=NCLS,
+            model_cfg=dict(
+                VOXEL_IN_DIM=16, VOXEL_CLS_FC=[16], VOXEL_ALIGN_DIM=16,
+                IMAGE_IN_DIM=12, IMAGE_ALIGN_DIM=16, GEO_FUSED_DIM=16,
+                OUT_CLS_FC=[16, 16], IGNORED_LABEL=0, DP_RATIO=0.25,
+                MIMIC_FC=[16, 16],
+                SFPhase_CFG=dict(embeddings_proj_kernel_size=1, d_model=16,
+                                 n_head=4, n_layer=2, n_ffn=32, drop_ratio=0,
+                                 activation="relu", pre_norm=False),
+            ),
+        ),
+    )
+
+
+def make_example(B=2, N=300, V=400, seed=0):
+    from lidarseg3d_tpu.core.voxelize import (
+        VoxelGenerator, encode_compact_value_labels,
+    )
+    from lidarseg3d_tpu.datasets.batching import collate_segnet
+
+    rng = np.random.default_rng(seed)
+    vg = VoxelGenerator(VSZ, PCR, max_num_points=5, max_voxels=V)
+    frames = []
+    for _ in range(B):
+        pts = np.stack([rng.uniform(-4, 4, N), rng.uniform(-4, 4, N),
+                        rng.uniform(-1, 1, N), rng.uniform(0, 1, N)],
+                       1).astype(np.float32)
+        labels = rng.integers(0, NCLS, N).astype(np.int32)
+        src = np.concatenate([pts, labels[:, None].astype(np.float32) + 1], 1)
+        voxels, coords, npts = vg.generate(src)
+        frames.append({
+            "voxels": voxels[:, :, :4], "coordinates": coords,
+            "num_points_per_voxel": npts, "points": pts,
+            "voxel_sem_labels": encode_compact_value_labels(
+                voxels[:, :, 4].astype(np.int64)).astype(np.int32),
+            "point_sem_labels": labels,
+        })
+    batch = collate_segnet(frames, max_voxels=V, max_points=N)
+    ex = {k: jnp.asarray(v) for k, v in batch.items() if k != "metadata"}
+
+    grid = np.round((np.asarray(PCR[3:]) - np.asarray(PCR[:3]))
+                    / np.asarray(VSZ)).astype(int)
+    ex["input_shape"] = (int(grid[2]) + 1, int(grid[1]), int(grid[0]))
+
+    ex["images"] = jnp.asarray(
+        rng.uniform(0, 1, (B, NCAM, IMH, IMW, 3)).astype(np.float32))
+    # points_cuv: ~60% of points in view
+    valid = (rng.random((B, N)) < 0.6).astype(np.float32)
+    cuv = np.stack([
+        valid,
+        rng.choice([-1.0, 1.0], (B, N)),  # cam (2 cams -> exact +-1)
+        rng.uniform(-1, 1, (B, N)),       # v
+        rng.uniform(-1, 1, (B, N)),       # u
+    ], -1).astype(np.float32)
+    ex["points_cuv"] = jnp.asarray(cuv)
+    ilab = rng.integers(0, NCLS, (B * NCAM, IMH, IMW)).astype(np.int32)
+    ilab[rng.random(ilab.shape) < 0.9] = 0  # sparse pixel labels
+    ex["images_sem_labels"] = jnp.asarray(ilab)
+    return ex
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = build_detector(model_cfg())
+    ex = make_example()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        ex, train=False,
+    )
+    return model, variables, ex
+
+
+def test_mseg3d_forward_and_loss(setup):
+    model, variables, ex = setup
+
+    def loss_fn(p):
+        (ret, bat), newv = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, ex,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        loss, ld = model.loss(ret, bat)
+        return loss, ld
+
+    (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(loss))
+    for k in ("voxel_ce_loss", "out_ce_loss", "out_mimic_loss",
+              "image_ce_loss"):
+        assert np.isfinite(float(ld[k])), k
+    gsum = sum(float(jnp.abs(l).sum())
+               for l in jax.tree_util.tree_leaves(grads))
+    assert gsum > 0 and np.isfinite(gsum)
+
+
+def test_mseg3d_predict(setup):
+    model, variables, ex = setup
+    ret, bat = model.apply(variables, ex, train=False)
+    pred = model.predict(ret, bat)
+    assert pred["pred_point_sem_labels"].shape == ex["points"].shape[:2]
+
+
+def test_grid_sample_exactness():
+    """Bilinear sampling at exact pixel centers returns exact values."""
+    from lidarseg3d_tpu.ops.grid_sample import sample_points_cuv
+    rng = np.random.default_rng(0)
+    B, ncam, H, W, C = 1, 2, 8, 10, 3
+    f = rng.standard_normal((B, ncam, H, W, C)).astype(np.float32)
+    # pick pixel (3, 7) on cam 1: normalized align_corners=True coords
+    cuv = np.array([[[1.0, 1.0, 2 * 3 / (H - 1) - 1, 2 * 7 / (W - 1) - 1],
+                     [0.0, 1.0, 0.0, 0.0]]], np.float32)
+    out = np.asarray(sample_points_cuv(jnp.asarray(f), jnp.asarray(cuv)))
+    np.testing.assert_allclose(out[0, 0], f[0, 1, 3, 7], rtol=1e-5)
+    np.testing.assert_array_equal(out[0, 1], 0)  # invalid point -> zeros

@@ -1,0 +1,77 @@
+"""SegPolarNet forward + loss smoke test (tiny grid)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lidarseg3d_tpu.models import build_detector
+
+GRID = (32, 32, 8)
+CYLR = [0.0, -np.pi, -4.0, 20.0, np.pi, 2.0]
+NCLS = 6
+
+
+def make_example(B=2, N=400, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.stack([
+        rng.uniform(-14, 14, (B, N)), rng.uniform(-14, 14, (B, N)),
+        rng.uniform(-3.5, 1.5, (B, N)), rng.uniform(0, 1, (B, N)),
+        rng.uniform(0, 1, (B, N)),
+    ], -1).astype(np.float32)
+    valid = np.ones((B, N), bool)
+    valid[:, -50:] = False
+    labels = rng.integers(0, NCLS, (B, N)).astype(np.int32)
+    return {
+        "points": jnp.asarray(pts),
+        "point_valid": jnp.asarray(valid),
+        "point_sem_labels": jnp.asarray(labels),
+    }
+
+
+def cfg():
+    return dict(
+        type="SegPolarNet",
+        reader=dict(
+            type="PolarNetDynamicVoxelFeatureExtractor",
+            grid_size=GRID, point_cloud_range=CYLR, average_points=False,
+            num_input_features=5, num_output_features=64,
+            fea_compre=GRID[-1],
+        ),
+        backbone=dict(
+            type="PolarNet_BEV_Unet", n_class=NCLS, n_height=GRID[-1],
+            input_batch_norm=True, dropout=0.5, circular_padding=True,
+        ),
+        point_head=dict(
+            type="PointSegPolarNetHead", class_agnostic=False, num_class=NCLS,
+            model_cfg=dict(IGNORED_LABEL=0),
+        ),
+    )
+
+
+def test_polarnet_forward_loss_grads():
+    model = build_detector(cfg())
+    ex = make_example()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        ex, train=False,
+    )
+
+    def loss_fn(p):
+        (ret, bat), newv = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, ex,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        loss, ld = model.loss(ret, bat)
+        return loss, ld
+
+    (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(loss))
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(grads))
+    assert total > 0
+
+    ret, bat = model.apply(variables, ex, train=False)
+    pred = model.predict(ret, bat)
+    assert pred["pred_point_sem_labels"].shape == ex["points"].shape[:2]

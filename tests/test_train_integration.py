@@ -1,0 +1,203 @@
+"""Integration: synthetic SemanticKITTI on disk -> dataset -> pipeline ->
+loader -> jitted SPMD train step on the 8-device CPU mesh; plus eval/mIoU."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lidarseg3d_tpu.datasets import build_dataset, SegDataLoader
+from lidarseg3d_tpu.datasets.semantickitti import metadata as meta
+from lidarseg3d_tpu.models import build_detector
+from lidarseg3d_tpu.apis.train import (
+    create_train_state, example_to_device, make_train_step, make_eval_step,
+    save_checkpoint, load_checkpoint,
+)
+from lidarseg3d_tpu.apis.eval import run_eval, evaluate_dataset
+from lidarseg3d_tpu.parallel import mesh as mesh_lib
+from lidarseg3d_tpu.solver.optim import build_one_cycle_optimizer, one_cycle_lr_fn
+
+PCR = [-6.0, -6.0, -2.0, 6.0, 6.0, 2.0]
+VSZ = [0.3, 0.3, 0.4]
+
+
+def write_fixture(root, seqs=("00", "08"), frames=3, n=1500, seed=0):
+    rng = np.random.default_rng(seed)
+    raw_ids = list(meta.LEARNING_MAP.keys())
+    for seq in seqs:
+        vd = os.path.join(root, seq, "velodyne")
+        ld = os.path.join(root, seq, "labels")
+        os.makedirs(vd, exist_ok=True)
+        os.makedirs(ld, exist_ok=True)
+        for f in range(frames):
+            pts = np.stack(
+                [rng.uniform(-6, 6, n), rng.uniform(-6, 6, n),
+                 rng.uniform(-2, 2, n), rng.uniform(0, 1, n)], 1
+            ).astype(np.float32)
+            pts.tofile(os.path.join(vd, f"{f:06d}.bin"))
+            sem = rng.choice(raw_ids, size=n).astype(np.uint32)
+            inst = rng.integers(0, 5, size=n).astype(np.uint32)
+            (sem | (inst << 16)).tofile(os.path.join(ld, f"{f:06d}.label"))
+
+
+def dataset_cfg(root, train=True):
+    prep = (
+        dict(mode="train", shuffle_points=True, npoints=1400,
+             global_rot_noise=[-0.78, 0.78], global_scale_noise=[0.95, 1.05],
+             global_translate_std=0.5)
+        if train
+        else dict(mode="val", shuffle_points=False)
+    )
+    vg = dict(range=PCR, voxel_size=VSZ, max_points_in_voxel=5,
+              max_voxel_num=[2000, 2000])
+    pipeline = [
+        dict(type="LoadPointCloudFromFile", dataset="SemanticKITTIDataset"),
+    ]
+    if train:
+        pipeline.append(dict(type="LoadPointCloudAnnotations", with_bbox=False))
+    pipeline += [
+        dict(type="SegPreprocess", cfg=prep),
+        dict(type="SegVoxelization", cfg=vg),
+    ]
+    if train:
+        pipeline.append(
+            dict(type="SegAssignLabel", cfg=dict(voxel_label_enc="compact_value"))
+        )
+    pipeline.append(dict(type="Reformat"))
+    return dict(
+        type="SemanticKITTIDataset", root_path=root,
+        sequences=["00"] if train else ["08"], pipeline=pipeline,
+        test_mode=not train,
+    )
+
+
+def tiny_model_cfg():
+    return dict(
+        type="SegNet",
+        reader=dict(type="TransformerVoxelFeatureExtractor",
+                    num_input_features=4, num_compressed_features=16,
+                    num_embed=32, num_head=4, num_layers=1),
+        backbone=dict(type="UNetSCN3D", num_input_features=16,
+                      point_cloud_range=PCR, voxel_size=VSZ,
+                      model_cfg=dict(SCALING_RATIO=1)),
+        point_head=dict(type="PointSegBatchlossHead", class_agnostic=False,
+                        num_class=meta.NUM_CLASSES,
+                        model_cfg=dict(CONV_IN_DIM=16, CONV_CLS_FC=[32],
+                                       CONV_ALIGN_DIM=32, OUT_CLS_FC=[32],
+                                       IGNORED_LABEL=0)),
+    )
+
+
+def input_shape():
+    grid = np.round(
+        (np.asarray(PCR[3:]) - np.asarray(PCR[:3])) / np.asarray(VSZ)
+    ).astype(int)
+    return (int(grid[2]) + 1, int(grid[1]), int(grid[0]))
+
+
+def test_dataset_and_loader(tmp_path):
+    root = str(tmp_path / "sequences")
+    write_fixture(root)
+    ds = build_dataset(dataset_cfg(root, train=True))
+    assert len(ds) == 3
+    fr = ds[0]
+    assert fr["points"].shape[1] == 4
+    assert fr["voxels"].shape[1:] == (5, 4)
+    assert (fr["voxel_sem_labels"] >= 0).all()
+    assert fr["coordinates"].min() >= 0
+
+    loader = SegDataLoader(ds, batch_size=2, max_voxels=2000, max_points=1400,
+                           num_workers=1, drop_last=False)
+    batches = list(loader.epoch(0))
+    assert len(batches) == loader.steps_per_epoch() == 2
+    b = batches[0]
+    assert b["voxels"].shape == (2, 2000, 5, 4)
+    assert b["points"].shape == (2, 1400, 4)
+    assert b["point_valid"].sum(1).min() > 0
+
+
+def test_one_cycle_schedule_values():
+    lr = one_cycle_lr_fn(1000, lr_max=0.001, div_factor=10.0, pct_start=0.4)
+    assert abs(float(lr(0)) - 1e-4) < 1e-8
+    assert abs(float(lr(400)) - 1e-3) < 1e-6
+    assert float(lr(1000)) < 1.1e-8  # low_lr/1e4
+    # monotone up then down
+    ups = [float(lr(s)) for s in range(0, 400, 50)]
+    assert all(b >= a for a, b in zip(ups, ups[1:]))
+
+
+def test_train_step_on_mesh_and_checkpoint(tmp_path):
+    root = str(tmp_path / "sequences")
+    write_fixture(root)
+    ds = build_dataset(dataset_cfg(root, train=True))
+    # batch of 8 = one row per device on the 8-dev CPU mesh
+    loader = SegDataLoader(ds, batch_size=8, max_voxels=1024, max_points=1400,
+                           num_workers=1, drop_last=False)
+    batch = next(loader.epoch(0))
+    model = build_detector(tiny_model_cfg())
+    tx, lr_fn = build_one_cycle_optimizer(
+        dict(type="adam", wd=0.01, fixed_wd=True),
+        dict(lr_max=1e-3, moms=[0.95, 0.85]), total_steps=10,
+    )
+    mesh = mesh_lib.make_mesh()
+    assert mesh.devices.size == 8
+    ishape = input_shape()
+    dev_batch = example_to_device(batch, mesh)
+    ex0 = dict(dev_batch)
+    ex0["input_shape"] = ishape
+    state = create_train_state(model, ex0, jax.random.PRNGKey(0), tx)
+    state = mesh_lib.replicate_tree(state, mesh)
+
+    step_fn = jax.jit(make_train_step(model, tx, ishape))
+    losses = []
+    for _ in range(3):
+        state, ldict = step_fn(state, dev_batch)
+        losses.append(float(ldict["out_ce_loss"]))
+    assert all(np.isfinite(losses))
+    # overfitting a fixed batch must reduce the CE loss
+    assert losses[-1] < losses[0]
+
+    # checkpoint roundtrip
+    wd = str(tmp_path / "work")
+    save_checkpoint(wd, state, epoch=1)
+    restored, ep = load_checkpoint(wd, state)
+    assert ep == 1
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state.params)),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_miou_pipeline(tmp_path):
+    root = str(tmp_path / "sequences")
+    write_fixture(root)
+    ds = build_dataset(dataset_cfg(root, train=False))
+    loader = SegDataLoader(ds, batch_size=1, max_voxels=1024, max_points=1600,
+                           shuffle=False, num_workers=1, drop_last=False)
+    model = build_detector(tiny_model_cfg())
+    batch = next(loader.epoch(0))
+    mesh = mesh_lib.make_mesh()
+    from lidarseg3d_tpu.datasets.batching import pad_batch_rows
+    ex0 = dict(example_to_device(pad_batch_rows(batch, mesh.devices.size), mesh))
+    ex0["input_shape"] = input_shape()
+    variables = model.init(jax.random.PRNGKey(0), ex0, train=False)
+    from lidarseg3d_tpu.apis.train import TrainState
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=())
+
+    dets = run_eval(model, state, loader, input_shape(), ds)
+    assert len(dets) == 3
+    res = evaluate_dataset(ds, dets)
+    assert "mIoU" in res["results"]
+    assert 0.0 <= res["results"]["mIoU"] <= 100.0
+
+    # perfect predictions give mIoU 100 on present classes
+    perfect = {
+        t: {"pred_point_sem_labels": ds.get_anno_for_eval(t)["point_sem_labels"]}
+        for t in dets
+    }
+    res2 = evaluate_dataset(ds, perfect)
+    assert res2["results"]["mIoU"] > 99.9
