@@ -157,6 +157,7 @@ def train_segmentor(
     resume_from=None,
     seed=0,
     val_fn=None,
+    init_hook=None,
 ):
     """Epoch-based training loop (cf. Trainer.run/train,
     trainer.py:391-434,509)."""
@@ -174,6 +175,8 @@ def train_segmentor(
     ex0i = dict(ex0)
     ex0i["input_shape"] = input_shape
     state = create_train_state(model, ex0i, jax.random.PRNGKey(seed), tx)
+    if init_hook is not None:
+        state = init_hook(state)
     state = mesh_lib.replicate_tree(state, mesh)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info(f"model params: {n_params/1e6:.2f} M; "

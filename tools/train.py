@@ -89,6 +89,20 @@ def main():
     total_epochs = args.total_epochs or cfg.total_epochs
     grad_clip = cfg.optimizer_config.get("grad_clip", {}).get("max_norm", 35.0)
 
+    init_hook = None
+    img_bb = cfg.model.get("img_backbone") or {}
+    pretrained = img_bb.get("pretrained") if img_bb else None
+    if pretrained:
+        from lidarseg3d_tpu.apis.pretrain import load_hrnet_pretrained
+        from lidarseg3d_tpu.apis.train import TrainState
+
+        def init_hook(state):
+            v = {"params": state.params, "batch_stats": state.batch_stats}
+            v = load_hrnet_pretrained(v, pretrained, logger=logger)
+            return TrainState(step=state.step, params=v["params"],
+                              batch_stats=v["batch_stats"],
+                              opt_state=state.opt_state)
+
     train_segmentor(
         model=model,
         loader=loader,
@@ -102,6 +116,7 @@ def main():
         log_interval=cfg.get("log_config", {}).get("interval", 5),
         resume_from=args.resume_from,
         seed=args.seed or 0,
+        init_hook=init_hook,
     )
 
 
