@@ -24,13 +24,16 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
     Returns a dict of stacked numpy arrays (B leading).
     """
     B = len(frames)
-    out = {
-        "voxels": [], "coordinates": [], "num_points": [], "num_voxels": [],
-        "points": [], "num_points_total": [],
-    }
+    has_voxels = "voxels" in frames[0]
+    out = {"points": [], "num_points_total": []}
+    if has_voxels:
+        out.update({"voxels": [], "coordinates": [], "num_points": [],
+                    "num_voxels": []})
     has_labels = "voxel_sem_labels" in frames[0]
+    has_plabels = "point_sem_labels" in frames[0]
     if has_labels:
         out["voxel_sem_labels"] = []
+    if has_plabels:
         out["point_sem_labels"] = []
     has_images = "images" in frames[0]
     if has_images:
@@ -41,16 +44,19 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
     metadata = []
 
     for fr in frames:
-        v = min(fr["voxels"].shape[0], max_voxels)
         n = min(fr["points"].shape[0], max_points)
-        out["voxels"].append(pad_axis0(fr["voxels"], max_voxels))
-        out["coordinates"].append(
-            pad_axis0(fr["coordinates"].astype(np.int32), max_voxels, fill=-1)
-        )
-        out["num_points"].append(
-            pad_axis0(fr["num_points_per_voxel"].astype(np.int32), max_voxels)
-        )
-        out["num_voxels"].append(np.int32(v))
+        if has_voxels:
+            v = min(fr["voxels"].shape[0], max_voxels)
+            out["voxels"].append(pad_axis0(fr["voxels"], max_voxels))
+            out["coordinates"].append(
+                pad_axis0(fr["coordinates"].astype(np.int32), max_voxels,
+                          fill=-1)
+            )
+            out["num_points"].append(
+                pad_axis0(fr["num_points_per_voxel"].astype(np.int32),
+                          max_voxels)
+            )
+            out["num_voxels"].append(np.int32(v))
         out["points"].append(pad_axis0(fr["points"].astype(np.float32), max_points))
         out["num_points_total"].append(np.int32(n))
         if has_images:
@@ -68,6 +74,7 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
                     fill=ignore_label,
                 )
             )
+        if has_plabels:
             out["point_sem_labels"].append(
                 pad_axis0(
                     fr["point_sem_labels"].astype(np.int32), max_points,
@@ -84,9 +91,10 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
     batch["point_valid"] = (
         np.arange(max_points)[None, :] < batch["num_points_total"][:, None]
     )
-    batch["voxel_valid"] = (
-        np.arange(max_voxels)[None, :] < batch["num_voxels"][:, None]
-    )
+    if has_voxels:
+        batch["voxel_valid"] = (
+            np.arange(max_voxels)[None, :] < batch["num_voxels"][:, None]
+        )
     batch["metadata"] = metadata
     return batch
 

@@ -1,0 +1,182 @@
+"""nuScenes-lidarseg info creation WITHOUT the nuscenes devkit.
+
+Replaces create_nuscenes_infos (det3d/datasets/nuscenes/semanticnusc_common.py:
+277,587) and the vendored nuscenes-devkit dependency: the nuScenes tables are
+plain JSON files, so we read them directly and precompute, per annotated
+sample: lidar/lidarseg paths, ref_to_global, per-camera cams_from_global +
+intrinsics + image paths, and previous-sweep records for multi-sweep input.
+"""
+
+import json
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+
+
+def quaternion_to_rotation(q):
+    """[w, x, y, z] -> 3x3 rotation matrix."""
+    w, x, y, z = q
+    n = w * w + x * x + y * y + z * z
+    s = 0.0 if n == 0 else 2.0 / n
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return np.array([
+        [1 - (yy + zz), xy - wz, xz + wy],
+        [xy + wz, 1 - (xx + zz), yz - wx],
+        [xz - wy, yz + wx, 1 - (xx + yy)],
+    ], dtype=np.float64)
+
+
+def transform_matrix(translation, rotation_q, inverse=False):
+    tm = np.eye(4, dtype=np.float64)
+    rot = quaternion_to_rotation(rotation_q)
+    if inverse:
+        tm[:3, :3] = rot.T
+        tm[:3, 3] = -rot.T @ np.asarray(translation)
+    else:
+        tm[:3, :3] = rot
+        tm[:3, 3] = np.asarray(translation)
+    return tm
+
+
+class NuScenesTables:
+    """Minimal nuScenes table reader (JSON files under <root>/<version>/)."""
+
+    TABLES = [
+        "sample", "sample_data", "scene", "calibrated_sensor", "ego_pose",
+        "sensor", "lidarseg",
+    ]
+
+    def __init__(self, root, version="v1.0-trainval"):
+        self.root = root
+        self.version = version
+        self._tables = {}
+        self._index = {}
+        for t in self.TABLES:
+            path = osp.join(root, version, f"{t}.json")
+            if not osp.isfile(path):
+                self._tables[t] = []
+                self._index[t] = {}
+                continue
+            with open(path) as f:
+                self._tables[t] = json.load(f)
+            self._index[t] = {r["token"]: r for r in self._tables[t]}
+        # lidarseg is keyed by sample_data token
+        self.lidarseg_by_sd = {
+            r["sample_data_token"]: r for r in self._tables["lidarseg"]
+        }
+
+    def get(self, table, token):
+        return self._index[table][token]
+
+    def all(self, table):
+        return self._tables[table]
+
+
+def _sd_global_from_sensor(ts, sd):
+    """sample_data record -> (sensor->global 4x4) via calibrated_sensor and
+    ego_pose."""
+    cs = ts.get("calibrated_sensor", sd["calibrated_sensor_token"])
+    ep = ts.get("ego_pose", sd["ego_pose_token"])
+    sensor_to_ego = transform_matrix(cs["translation"], cs["rotation"])
+    ego_to_global = transform_matrix(ep["translation"], ep["rotation"])
+    return ego_to_global @ sensor_to_ego, cs
+
+
+def create_nuscenes_seg_infos(root, version="v1.0-trainval", nsweeps=1,
+                              cam_chans=None, out_dir=None):
+    """Build train/val info pkls for SemanticNuscDataset.
+
+    Split assignment follows the official scene splits when the devkit's
+    split lists are unavailable: scenes are split by the canonical
+    train/val scene names embedded in the scene table is NOT possible
+    offline, so we default to all-annotated-samples in one list per split
+    file unless a splits dict {scene_name: 'train'|'val'} is provided via
+    nuscenes.utils.splits (if importable).
+    """
+    ts = NuScenesTables(root, version)
+    cam_chans = cam_chans or []
+
+    try:  # official splits if the devkit is importable
+        from nuscenes.utils import splits as nusc_splits
+
+        train_scenes = set(nusc_splits.train)
+        val_scenes = set(nusc_splits.val)
+    except Exception:
+        train_scenes = val_scenes = None
+
+    infos_train, infos_val = [], []
+    for scene in ts.all("scene"):
+        sample_token = scene["first_sample_token"]
+        while sample_token:
+            sample = ts.get("sample", sample_token)
+            sd_token = sample["data"]["LIDAR_TOP"]
+            sd = ts.get("sample_data", sd_token)
+            seg = ts.lidarseg_by_sd.get(sd_token)
+            if seg is None:  # test split has no lidarseg
+                seg_path = None
+            else:
+                seg_path = osp.join(root, seg["filename"])
+
+            ref_to_global, _ = _sd_global_from_sensor(ts, sd)
+            info = {
+                "token": sample_token,
+                "lidar_path": osp.join(root, sd["filename"]),
+                "lidarseg_path": seg_path,
+                "ref_to_global": ref_to_global.astype(np.float32),
+                "timestamp": sd["timestamp"] / 1e6,
+                "sweeps": [],
+            }
+
+            if cam_chans:
+                cams_from_global, cam_intrinsics, cam_paths = {}, {}, {}
+                for chan in cam_chans:
+                    cam_sd = ts.get("sample_data", sample["data"][chan])
+                    cam_to_global, cs = _sd_global_from_sensor(ts, cam_sd)
+                    cams_from_global[chan] = np.linalg.inv(
+                        cam_to_global
+                    ).astype(np.float32)
+                    cam_intrinsics[chan] = np.asarray(
+                        cs["camera_intrinsic"], np.float32
+                    )
+                    cam_paths[chan] = osp.join(root, cam_sd["filename"])
+                info["cams_from_global"] = cams_from_global
+                info["cam_intrinsics"] = cam_intrinsics
+                info["cam_paths"] = cam_paths
+
+            # previous sweeps (non-keyframe lidar scans)
+            prev = sd["prev"]
+            global_from_ref_inv = np.linalg.inv(ref_to_global)
+            while prev and len(info["sweeps"]) < nsweeps - 1:
+                psd = ts.get("sample_data", prev)
+                p_to_global, _ = _sd_global_from_sensor(ts, psd)
+                info["sweeps"].append({
+                    "lidar_path": osp.join(root, psd["filename"]),
+                    "sweep_to_ref": (
+                        global_from_ref_inv @ p_to_global
+                    ).astype(np.float32),
+                    "time_lag": info["timestamp"] - psd["timestamp"] / 1e6,
+                })
+                prev = psd["prev"]
+
+            scene_name = scene["name"]
+            if train_scenes is not None and scene_name in val_scenes:
+                infos_val.append(info)
+            elif train_scenes is not None and scene_name not in train_scenes:
+                pass  # not in this version's splits
+            else:
+                infos_train.append(info)
+            sample_token = sample["next"]
+
+    out_dir = out_dir or root
+    os.makedirs(out_dir, exist_ok=True)
+    tr = osp.join(out_dir, f"infos_train_{nsweeps:02d}sweeps_segdet.pkl")
+    va = osp.join(out_dir, f"infos_val_{nsweeps:02d}sweeps_segdet.pkl")
+    with open(tr, "wb") as f:
+        pickle.dump(infos_train, f)
+    with open(va, "wb") as f:
+        pickle.dump(infos_val, f)
+    return tr, va

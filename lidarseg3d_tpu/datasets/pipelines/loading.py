@@ -66,12 +66,73 @@ class LoadPointCloudFromFile:
             if self.use_img:
                 sample["points_cp"] = self._kitti_points_cp(points, info["path"])
         elif self.type == "SemanticNuscDataset":
-            # [x, y, z, intensity, (ring)] float32 rows of 5
-            raw = np.fromfile(info["lidar_path"], dtype=np.float32).reshape(-1, 5)
-            sample["points"] = raw[:, :4]
+            # [x, y, z, intensity, ring] float32 rows of 5 (loading.py:358-368)
+            points = np.fromfile(
+                info["lidar_path"], dtype=np.float32
+            ).reshape(-1, 5)
+            nsweeps = sample.get("nsweeps", 1)
+            if nsweeps > 1:
+                pts_list = [np.concatenate(
+                    [points, np.zeros((len(points), 1), np.float32)], axis=1
+                )]
+                for sw in info["sweeps"][: nsweeps - 1]:
+                    p = np.fromfile(
+                        sw["lidar_path"], dtype=np.float32
+                    ).reshape(-1, 5)
+                    hom = np.concatenate(
+                        [p[:, :3], np.ones((len(p), 1), np.float32)], axis=1
+                    )
+                    p[:, :3] = (sw["sweep_to_ref"] @ hom.T).T[:, :3]
+                    t = np.full((len(p), 1), sw["time_lag"], np.float32)
+                    pts_list.append(np.concatenate([p, t], axis=1))
+                points = np.concatenate(pts_list, axis=0)
+            sample["points"] = points
+            if self.use_img:
+                sample["points_cp"] = self._nusc_points_cp(points, info)
+        elif self.type == "SemanticWaymoDataset":
+            import pickle
+
+            with open(info["path"], "rb") as f:
+                obj = pickle.load(f)
+            sample["waymo_obj"] = obj
+            lid = obj["lidars"]
+            sample["points"] = np.concatenate(
+                [lid["points_xyz"], lid["points_feature"]], axis=1
+            ).astype(np.float32)
+            if self.use_img:
+                # waymo provides per-point camera projections directly
+                # (loading.py:353-356)
+                sample["points_cp"] = lid["points_cp"].astype(np.float32)
         else:
             raise NotImplementedError(self.type)
         return sample, info
+
+    @staticmethod
+    def _nusc_points_cp(points, info):
+        """Per-point [cam_id, w, h] via lidar->global->cam->image chains
+        (loading.py:372-416); cam_id 1-based in cam_chan order."""
+        cam_chans = info["cam"]["chan"]
+        im_h, im_w = 900, 1600
+        cp = np.full((len(points), 3), -100.0, np.float32)
+        hom = np.concatenate(
+            [points[:, :3], np.ones((len(points), 1), np.float32)], axis=1
+        )
+        pts_global = info["ref_to_global"].astype(np.float64) @ hom.T  # 4xN
+        for cam_id, chan in enumerate(cam_chans):
+            pts_cam = (info["cams_from_global"][chan].astype(np.float64)
+                       @ pts_global)[:3]
+            K = np.asarray(info["cam_intrinsics"][chan], np.float64)
+            uvw = K @ pts_cam
+            uv = uvw[:2] / np.maximum(uvw[2:3], 1e-6)
+            mask = (
+                (pts_cam[2] > 0)
+                & (uv[0] > 1) & (uv[0] < im_w - 1)
+                & (uv[1] > 1) & (uv[1] < im_h - 1)
+            )
+            cp[mask, 0] = cam_id + 1
+            cp[mask, 1] = uv[0][mask]
+            cp[mask, 2] = uv[1][mask]
+        return cp
 
 
 @PIPELINES.register_module
@@ -95,9 +156,29 @@ class LoadPointCloudAnnotations:
         elif sample["type"] == "SemanticNuscDataset":
             raw = np.fromfile(info["lidarseg_path"], dtype=np.uint8).reshape(-1)
             lut = info["remap_lut"]
+            sem = lut[raw.astype(np.int64)].astype(np.int32)
+            n = len(sample["points"])
+            if n > len(sem):  # multi-sweep: label only the key-frame points
+                sem = np.concatenate(
+                    [sem, np.zeros(n - len(sem), np.int32)]
+                )
             sample["annotations"] = {
-                "point_sem_labels": lut[raw.astype(np.int64)].astype(np.int32),
-                "point_inst_labels": np.zeros(len(raw), np.int32),
+                "point_sem_labels": sem,
+                "point_inst_labels": np.zeros(n, np.int32),
+            }
+        elif sample["type"] == "SemanticWaymoDataset":
+            obj = sample["waymo_obj"]
+            labels = np.asarray(
+                obj["annotations"]["point_sem_labels"], np.int32
+            )
+            n = len(sample["points"])
+            if n > len(labels):  # pad to all-lidar count (loading.py:478-495)
+                labels = np.concatenate(
+                    [labels, np.zeros(n - len(labels), np.int32)]
+                )
+            sample["annotations"] = {
+                "point_sem_labels": labels[:n],
+                "point_inst_labels": np.zeros(n, np.int32),
             }
         else:
             raise NotImplementedError(sample["type"])
@@ -121,10 +202,12 @@ class LoadImageFromFile:
                 info["path"].replace("velodyne", "image_2").replace(".bin", ".png")
             )
             cam_paths = {"1": img_path}
+            cam_keys = info["cam"]["names"]
         else:
             cam_paths = info["cam_paths"]
-        cam_names = info["cam"]["names"]
-        sample["images"] = [cv2.imread(cam_paths[c]) for c in cam_names]
+            # nuScenes paths are keyed by channel name, Waymo by cam id
+            cam_keys = info["cam"].get("chan") or info["cam"]["names"]
+        sample["images"] = [cv2.imread(cam_paths[c]) for c in cam_keys]
         return sample, info
 
 

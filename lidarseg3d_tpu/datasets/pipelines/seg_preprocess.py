@@ -199,17 +199,21 @@ class Reformat:
         pass
 
     def __call__(self, sample, info):
-        vox = sample["voxels"]
         frame = {
             "points": sample["points"].astype(np.float32),
-            "voxels": vox["voxels"].astype(np.float32),
-            "coordinates": vox["coordinates"],
-            "num_points_per_voxel": vox["num_points"],
             "metadata": sample.get("metadata", {"token": info.get("token")}),
         }
+        if "voxels" in sample:
+            vox = sample["voxels"]
+            frame["voxels"] = vox["voxels"].astype(np.float32)
+            frame["coordinates"] = vox["coordinates"]
+            frame["num_points_per_voxel"] = vox["num_points"]
         if sample["mode"] == "train" and "targets" in sample:
             frame["voxel_sem_labels"] = sample["targets"]["voxel_sem_labels"]
             frame["point_sem_labels"] = sample["targets"]["point_sem_labels"]
+        elif sample["mode"] == "train" and "annotations" in sample:
+            # dynamic-VFE path: no host voxelization, point labels only
+            frame["point_sem_labels"] = sample["annotations"]["point_sem_labels"]
         if "points_cuv" in sample:
             frame["points_cuv"] = sample["points_cuv"].astype(np.float32)
             frame["images"] = sample["images"].astype(np.float32)

@@ -1,0 +1,132 @@
+"""Waymo tfrecord -> pkl conversion (3D semantic segmentation frames).
+
+Replaces det3d/datasets/waymo/waymo_converter.py + semanticwaymo_decoder.py.
+Requires tensorflow + waymo_open_dataset AT CONVERSION TIME ONLY (neither is
+needed for training/eval, which consume the pkl frames). This image ships
+without them, so every entry point raises a clear error if they're absent.
+
+Decoding uses the official frame_utils helpers (range image -> point cloud,
+range image -> per-point segmentation labels) rather than hand-rolled
+spherical math; per-point camera projections come from the
+camera_projection range images. Labels cover the TOP lidar (ri1 + ri2) and
+are zero-padded to the all-lidar point count, matching the reference
+(det3d/datasets/pipelines/loading.py:478-495).
+"""
+
+import os
+import os.path as osp
+import pickle
+
+
+def _require_waymo():
+    try:
+        import tensorflow as tf  # noqa: F401
+        from waymo_open_dataset import dataset_pb2  # noqa: F401
+        from waymo_open_dataset.utils import frame_utils  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "Waymo conversion requires `tensorflow` and `waymo_open_dataset` "
+            "(pip install waymo-open-dataset-tf-2-11-0). These are only "
+            "needed to convert tfrecords; training/eval use the pkl output."
+        ) from e
+
+
+def decode_frame(frame):
+    """One Frame proto -> our pkl frame dict (see dataset.py docstring).
+
+    Point order: for each return index (ri1 then ri2), lidars in
+    frame.lasers order with TOP first — the seg-label order the eval
+    truncation relies on.
+    """
+    import numpy as np
+    from waymo_open_dataset.utils import frame_utils
+
+    (range_images, camera_projections, seg_labels, range_image_top_pose
+     ) = frame_utils.parse_range_image_and_camera_projection(frame)
+
+    points_all, cp_all, labels_all = [], [], []
+    num_seg_points = 0
+    for ri_index in (0, 1):
+        points, cps = frame_utils.convert_range_image_to_point_cloud(
+            frame, range_images, camera_projections, range_image_top_pose,
+            ri_index=ri_index, keep_polar_features=True,
+        )
+        if seg_labels:
+            point_labels = frame_utils.convert_range_image_to_point_cloud_labels(
+                frame, range_images, seg_labels, ri_index=ri_index
+            )
+        else:
+            point_labels = [np.zeros((len(p), 2), np.int32) for p in points]
+        for p, cp, pl in zip(points, cps, point_labels):
+            # p: [N, 6] (range, intensity, elongation, x, y, z)
+            xyz = p[:, 3:6].astype(np.float32)
+            feat = p[:, 1:3].astype(np.float32)
+            points_all.append(np.concatenate([xyz, feat], axis=1))
+            # cp: [N, 6] (cam1 id, x, y, cam2 id, x, y) -> first projection
+            cp_arr = np.asarray(cp, np.float32)
+            cp3 = cp_arr[:, :3].copy()
+            cp3[cp3[:, 0] <= 0] = -100.0
+            cp_all.append(cp3)
+            # pl: [N, 2] (instance, semantic); semantic in col 1
+            pl = np.asarray(pl)
+            if pl.size:
+                labels_all.append(pl[:, 1].astype(np.uint8))
+                num_seg_points += len(pl)
+            else:
+                labels_all.append(np.zeros(len(p), np.uint8))
+
+    points = np.concatenate(points_all, axis=0)
+    cp = np.concatenate(cp_all, axis=0)
+    labels = np.concatenate(labels_all, axis=0)
+    return {
+        "lidars": {
+            "points_xyz": points[:, :3],
+            "points_feature": points[:, 3:5],
+            "points_cp": cp,
+        },
+        "annotations": {
+            "point_sem_labels": labels,
+            "num_seg_points": int(num_seg_points),
+        },
+    }
+
+
+def create_semanticwaymo_infos(root, out_dir=None, nsweeps=1, split="training",
+                               seg_only=True):
+    """Convert <root>/<split>/*.tfrecord into per-frame pkls + an info pkl."""
+    _require_waymo()
+    import tensorflow as tf
+    from waymo_open_dataset import dataset_pb2
+
+    out_dir = out_dir or root
+    frame_dir = osp.join(out_dir, f"{split}_frames")
+    os.makedirs(frame_dir, exist_ok=True)
+    infos = []
+    records = sorted(
+        f for f in os.listdir(osp.join(root, split)) if "tfrecord" in f
+    )
+    for rec in records:
+        ds = tf.data.TFRecordDataset(osp.join(root, split, rec),
+                                     compression_type="")
+        for data in ds:
+            frame = dataset_pb2.Frame()
+            frame.ParseFromString(bytearray(data.numpy()))
+            has_seg = bool(
+                frame.lasers[0].ri_return1.segmentation_label_compressed
+            )
+            if seg_only and split == "training" and not has_seg:
+                continue  # only annotated frames carry seg labels
+            obj = decode_frame(frame)
+            obj["cam_paths"] = {}  # images are exported separately if needed
+            token = f"{frame.context.name}_{frame.timestamp_micros}"
+            path = osp.join(frame_dir, f"{token}.pkl")
+            obj["token"] = token
+            with open(path, "wb") as f:
+                pickle.dump(obj, f)
+            infos.append({"token": token, "path": path})
+    info_path = osp.join(
+        out_dir, f"infos_{split}_{nsweeps:02d}sweeps_segdet.pkl"
+    )
+    with open(info_path, "wb") as f:
+        pickle.dump(infos, f)
+    return info_path

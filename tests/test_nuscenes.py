@@ -1,0 +1,184 @@
+"""nuScenes family: devkit-free info builder -> dataset -> pipeline."""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from lidarseg3d_tpu.datasets import build_dataset
+from lidarseg3d_tpu.datasets.nuscenes.common import (
+    create_nuscenes_seg_infos, quaternion_to_rotation,
+)
+
+CHANS = ["CAM_FRONT", "CAM_BACK"]
+
+
+def write_tables(root, n_samples=3, n_pts=800, seed=0):
+    rng = np.random.default_rng(seed)
+    v = "v1.0-trainval"
+    os.makedirs(osp.join(root, v), exist_ok=True)
+    os.makedirs(osp.join(root, "samples/LIDAR_TOP"), exist_ok=True)
+    os.makedirs(osp.join(root, "lidarseg", v), exist_ok=True)
+    for c in CHANS:
+        os.makedirs(osp.join(root, f"samples/{c}"), exist_ok=True)
+
+    ident_q = [1.0, 0.0, 0.0, 0.0]
+    tables = {t: [] for t in ["sample", "sample_data", "scene",
+                              "calibrated_sensor", "ego_pose", "sensor",
+                              "lidarseg"]}
+    tables["ego_pose"].append(
+        dict(token="ep0", translation=[0, 0, 0], rotation=ident_q, timestamp=0))
+    tables["calibrated_sensor"].append(
+        dict(token="cs_lidar", translation=[0, 0, 1.8], rotation=ident_q,
+             camera_intrinsic=[]))
+    for ci, c in enumerate(CHANS):
+        tables["calibrated_sensor"].append(
+            dict(token=f"cs_{c}", translation=[0.5 * ci, 0, 1.5],
+                 rotation=[0.5, -0.5, 0.5, -0.5],  # lidar->cam axes
+                 camera_intrinsic=[[600, 0, 800], [0, 600, 450], [0, 0, 1]]))
+
+    samples = []
+    for i in range(n_samples):
+        tok = f"sample{i}"
+        sd_tok = f"sd_lidar{i}"
+        pts = np.concatenate([
+            rng.uniform(-20, 20, (n_pts, 2)),
+            rng.uniform(-2, 2, (n_pts, 1)),
+            rng.uniform(0, 100, (n_pts, 1)),
+            rng.integers(0, 32, (n_pts, 1)).astype(np.float64),
+        ], axis=1).astype(np.float32)
+        lidar_file = f"samples/LIDAR_TOP/{tok}.pcd.bin"
+        pts.tofile(osp.join(root, lidar_file))
+        seg_file = f"lidarseg/{v}/{sd_tok}_lidarseg.bin"
+        rng.integers(0, 32, n_pts, dtype=np.uint8).tofile(
+            osp.join(root, seg_file))
+
+        data = {"LIDAR_TOP": sd_tok}
+        tables["sample_data"].append(dict(
+            token=sd_tok, sample_token=tok, filename=lidar_file,
+            calibrated_sensor_token="cs_lidar", ego_pose_token="ep0",
+            timestamp=i * 500000, prev="", next="",
+        ))
+        tables["lidarseg"].append(dict(
+            token=f"seg{i}", sample_data_token=sd_tok, filename=seg_file))
+        for c in CHANS:
+            cam_tok = f"sd_{c}_{i}"
+            img_file = f"samples/{c}/{tok}.jpg"
+            cv2.imwrite(osp.join(root, img_file),
+                        rng.integers(0, 255, (900, 1600, 3), dtype=np.uint8))
+            tables["sample_data"].append(dict(
+                token=cam_tok, sample_token=tok, filename=img_file,
+                calibrated_sensor_token=f"cs_{c}", ego_pose_token="ep0",
+                timestamp=i * 500000, prev="", next="",
+            ))
+            data[c] = cam_tok
+        samples.append(dict(
+            token=tok, data=data, scene_token="scene0",
+            prev=f"sample{i-1}" if i else "",
+            next=f"sample{i+1}" if i < n_samples - 1 else "",
+        ))
+    tables["sample"] = samples
+    tables["scene"].append(dict(
+        token="scene0", name="scene-9999", first_sample_token="sample0",
+        last_sample_token=f"sample{n_samples-1}",
+    ))
+    for t, rows in tables.items():
+        with open(osp.join(root, v, f"{t}.json"), "w") as f:
+            json.dump(rows, f)
+
+
+def test_quaternion():
+    np.testing.assert_allclose(
+        quaternion_to_rotation([1, 0, 0, 0]), np.eye(3), atol=1e-12)
+    # 90deg about z
+    q = [np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)]
+    R = quaternion_to_rotation(q)
+    np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-12)
+
+
+def make_pipeline(train, use_img):
+    pcr = [-25.0, -25.0, -4.0, 25.0, 25.0, 4.0]
+    vsz = [0.5, 0.5, 0.5]
+    pipe = [dict(type="LoadPointCloudFromFile", dataset="SemanticNuscDataset",
+                 use_img=use_img)]
+    if use_img:
+        pipe.append(dict(type="LoadImageFromFile", use_img=True))
+    if train:
+        pipe.append(dict(type="LoadPointCloudAnnotations"))
+        if use_img:
+            pipe.append(dict(type="LoadImageAnnotations", points_cp_radius=1))
+    pipe.append(dict(type="SegPreprocess", cfg=dict(
+        mode="train" if train else "val", shuffle_points=train, npoints=700,
+        global_rot_noise=[-0.5, 0.5], global_scale_noise=[0.95, 1.05],
+        global_translate_std=0.2)))
+    if use_img:
+        pipe.append(dict(type="SegImagePreprocess",
+                         cfg=dict(shuffle_points=train)))
+    pipe.append(dict(type="SegVoxelization", cfg=dict(
+        range=pcr, voxel_size=vsz, max_points_in_voxel=5,
+        max_voxel_num=[2000, 2000])))
+    if train:
+        pipe.append(dict(type="SegAssignLabel",
+                         cfg=dict(voxel_label_enc="compact_value")))
+    pipe.append(dict(type="Reformat"))
+    return pipe
+
+
+def test_nusc_infos_and_dataset(tmp_path):
+    root = str(tmp_path)
+    write_tables(root)
+    tr, va = create_nuscenes_seg_infos(root, nsweeps=1, cam_chans=CHANS)
+    assert osp.isfile(tr)
+
+    ds = build_dataset(dict(
+        type="SemanticNuscDataset", info_path=tr, root_path=root,
+        pipeline=make_pipeline(train=True, use_img=False),
+    ))
+    assert len(ds) == 3
+    fr = ds.get_sensor_data(0, rng=np.random.default_rng(0))
+    assert fr["points"].shape[1] == 5
+    assert (fr["point_sem_labels"] < 17).all()
+    assert fr["voxels"].shape[1:] == (5, 5)
+
+
+def test_nusc_multimodal(tmp_path):
+    root = str(tmp_path)
+    write_tables(root)
+    tr, _ = create_nuscenes_seg_infos(root, nsweeps=1, cam_chans=CHANS)
+    ds = build_dataset(dict(
+        type="SemanticNuscDataset", info_path=tr, root_path=root,
+        pipeline=make_pipeline(train=True, use_img=True),
+        cam_names=["1", "2"], cam_chan=CHANS,
+        cam_attributes={
+            "1": dict(mean=[0.4, 0.45, 0.48], std=[0.22, 0.22, 0.23]),
+            "2": dict(mean=[0.4, 0.45, 0.48], std=[0.22, 0.22, 0.23]),
+        },
+        img_resized_shape=(160, 90),
+    ))
+    fr = ds.get_sensor_data(0, rng=np.random.default_rng(1))
+    assert fr["images"].shape == (2, 90, 160, 3)
+    cuv = fr["points_cuv"]
+    valid = cuv[:, 0] > 0.5
+    assert valid.sum() > 0  # some points visible in some camera
+    assert fr["images_sem_labels"].shape == (2, 90, 160)
+
+
+def test_nusc_eval(tmp_path):
+    root = str(tmp_path)
+    write_tables(root)
+    tr, _ = create_nuscenes_seg_infos(root, nsweeps=1, cam_chans=CHANS)
+    ds = build_dataset(dict(
+        type="SemanticNuscDataset", info_path=tr, root_path=root,
+        pipeline=make_pipeline(train=False, use_img=False), test_mode=True,
+    ))
+    dets = {
+        i["token"]: {"pred_point_sem_labels":
+                     ds.get_anno_for_eval(i["token"])["point_sem_labels"]}
+        for i in ds._infos
+    }
+    res, _ = ds.evaluation(dets)
+    assert res["results"]["mIoU"] > 99.9

@@ -1,0 +1,92 @@
+"""SemanticWaymo dataset over synthetic pkl frames."""
+
+import os
+import pickle
+
+import numpy as np
+
+from lidarseg3d_tpu.datasets import build_dataset
+
+
+def write_fixture(root, frames=2, n_top=900, n_other=300, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "training_frames"), exist_ok=True)
+    infos = []
+    for i in range(frames):
+        n = n_top + n_other
+        xyz = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+        feat = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+        cp = np.full((n, 3), -100.0, np.float32)
+        vis = rng.random(n) < 0.5
+        cp[vis, 0] = rng.integers(1, 6, vis.sum())
+        cp[vis, 1] = rng.uniform(0, 1920, vis.sum())
+        cp[vis, 2] = rng.uniform(0, 1280, vis.sum())
+        labels = rng.integers(0, 23, n_top).astype(np.uint8)
+        obj = {
+            "token": f"seg{i}",
+            "lidars": {"points_xyz": xyz, "points_feature": feat,
+                       "points_cp": cp},
+            "annotations": {"point_sem_labels": labels,
+                            "num_seg_points": n_top},
+            "cam_paths": {},
+        }
+        path = os.path.join(root, "training_frames", f"seg{i}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(obj, f)
+        infos.append({"token": f"seg{i}", "path": path})
+    info_path = os.path.join(root, "infos_training_01sweeps_segdet.pkl")
+    with open(info_path, "wb") as f:
+        pickle.dump(infos, f)
+    return info_path
+
+
+def make_pipeline(train=True):
+    pcr = [-35.0, -35.0, -2.0, 35.0, 35.0, 4.0]
+    vsz = [0.5, 0.5, 0.5]
+    pipe = [dict(type="LoadPointCloudFromFile",
+                 dataset="SemanticWaymoDataset")]
+    if train:
+        pipe.append(dict(type="LoadPointCloudAnnotations"))
+    pipe.append(dict(type="SegPreprocess", cfg=dict(
+        mode="train" if train else "val", shuffle_points=train, npoints=1100,
+        global_rot_noise=[-0.5, 0.5], global_scale_noise=[0.95, 1.05],
+        global_translate_std=0.2)))
+    pipe.append(dict(type="SegVoxelization", cfg=dict(
+        range=pcr, voxel_size=vsz, max_points_in_voxel=5,
+        max_voxel_num=[2000, 2000])))
+    if train:
+        pipe.append(dict(type="SegAssignLabel",
+                         cfg=dict(voxel_label_enc="compact_value")))
+    pipe.append(dict(type="Reformat"))
+    return pipe
+
+
+def test_waymo_dataset_train(tmp_path):
+    info_path = write_fixture(str(tmp_path))
+    ds = build_dataset(dict(
+        type="SemanticWaymoDataset", info_path=info_path,
+        root_path=str(tmp_path), pipeline=make_pipeline(True),
+    ))
+    assert len(ds) == 2
+    fr = ds.get_sensor_data(0, rng=np.random.default_rng(0))
+    assert fr["points"].shape[1] == 5
+    assert (fr["point_sem_labels"] < 23).all()
+
+
+def test_waymo_eval(tmp_path):
+    info_path = write_fixture(str(tmp_path))
+    ds = build_dataset(dict(
+        type="SemanticWaymoDataset", info_path=info_path,
+        root_path=str(tmp_path), pipeline=make_pipeline(False),
+        test_mode=True,
+    ))
+    dets = {}
+    for i in ds._infos:
+        anno = ds.get_anno_for_eval(i["token"])
+        full = np.concatenate([
+            anno["point_sem_labels"],
+            np.zeros(300, np.uint8),
+        ])
+        dets[i["token"]] = {"pred_point_sem_labels": full}
+    res, _ = ds.evaluation(dets)
+    assert res["results"]["mIoU"] > 99.9

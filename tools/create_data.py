@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Dataset info-file preparation (cf. /root/reference/tools/create_data.py).
+
+Usage:
+  python tools/create_data.py semanticnusc --root data/SemanticNusc \
+      [--version v1.0-trainval] [--nsweeps 1] [--cams]
+  python tools/create_data.py semanticwaymo --root data/SemanticWaymo ...
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", choices=["semanticnusc", "semanticwaymo"])
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--version", default="v1.0-trainval")
+    ap.add_argument("--nsweeps", type=int, default=1)
+    ap.add_argument("--cams", action="store_true",
+                    help="include 6-camera calibration/paths (MSeg3D)")
+    ap.add_argument("--out_dir", default=None)
+    args = ap.parse_args()
+
+    if args.dataset == "semanticnusc":
+        from lidarseg3d_tpu.datasets.nuscenes.common import (
+            create_nuscenes_seg_infos,
+        )
+        from lidarseg3d_tpu.datasets.nuscenes.metadata import CAM_CHANS
+
+        tr, va = create_nuscenes_seg_infos(
+            args.root, version=args.version, nsweeps=args.nsweeps,
+            cam_chans=CAM_CHANS if args.cams else None,
+            out_dir=args.out_dir,
+        )
+        print(f"wrote {tr}\nwrote {va}")
+    else:
+        from lidarseg3d_tpu.datasets.waymo.converter import (
+            create_semanticwaymo_infos,
+        )
+
+        out = create_semanticwaymo_infos(
+            args.root, out_dir=args.out_dir, nsweeps=args.nsweeps
+        )
+        print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
