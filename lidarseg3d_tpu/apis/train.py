@@ -158,10 +158,18 @@ def train_segmentor(
     seed=0,
     val_fn=None,
     init_hook=None,
+    tb_log_dir=None,
+    profile_dir=None,
 ):
     """Epoch-based training loop (cf. Trainer.run/train,
-    trainer.py:391-434,509)."""
+    trainer.py:391-434,509). Optional extras: TensorBoard scalars
+    (tb_log_dir) and a jax.profiler trace of steps 10-14 (profile_dir)."""
     os.makedirs(work_dir, exist_ok=True)
+    tb = None
+    if tb_log_dir:
+        from ..utils.tb_logger import TensorboardLogger
+
+        tb = TensorboardLogger(tb_log_dir)
     steps_per_epoch = loader.steps_per_epoch()
     total_steps = steps_per_epoch * total_epochs
     tx, lr_fn = build_one_cycle_optimizer(
@@ -198,7 +206,12 @@ def train_segmentor(
             t0 = time.time()
             dev_batch = example_to_device(batch, mesh)
             t_data += time.time() - t0
+            if profile_dir and global_step == 10:
+                jax.profiler.start_trace(profile_dir)
             state, ldict = train_step(state, dev_batch)
+            if profile_dir and global_step == 14:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
             global_step += 1
             for k, v in ldict.items():
                 buf.setdefault(k, []).append(v)
@@ -216,6 +229,8 @@ def train_segmentor(
                     f"lr: {lr:.5f}, eta: {eta/60:.1f}min, data: {t_data:.2f}s, "
                     f"iter: {(time.time()-t_iter):.2f}s, {msg}"
                 )
+                if tb is not None:
+                    tb.log_scalars({"lr": lr, **vals}, global_step)
                 buf, t_data, t_iter = {}, 0.0, time.time()
         save_checkpoint(work_dir, state, epoch + 1)
         logger.info(f"saved checkpoint epoch_{epoch+1}")

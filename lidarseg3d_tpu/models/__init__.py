@@ -10,6 +10,7 @@ from .readers import voxel_encoders  # noqa: F401  (registration)
 from .readers import dynamic_vfe  # noqa: F401
 from .backbones import unet_scn  # noqa: F401
 from .backbones import polarnet_unet  # noqa: F401
+from .backbones import cylinder3d  # noqa: F401
 from .img_backbones import hrnet  # noqa: F401
 from .img_heads import fcn_mseg3d_head  # noqa: F401
 from .point_heads import batchloss_head  # noqa: F401

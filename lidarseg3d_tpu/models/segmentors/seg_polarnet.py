@@ -33,13 +33,26 @@ class SegPolarNet(nn.Module):
 
     def __call__(self, example, train: bool = True):
         """example: points [B, N, D], point_valid [B, N],
-        (train) point_sem_labels [B, N]."""
-        r = self.reader_mod(
-            example["points"], example["point_valid"], train=train
-        )
-        bev_logits = self.backbone_mod(r["bev_features"], train=train)
+        (train) point_sem_labels [B, N].
+
+        Supports both readers: PolarNet (dense BEV features -> BEV UNet) and
+        Cylinder3D (sparse voxel set -> asymmetric sparse UNet)."""
         batch = dict(example)
-        batch["bev_logits"] = bev_logits
+        if "PolarNet" in type(self.reader_mod).__name__:
+            r = self.reader_mod(
+                example["points"], example["point_valid"], train=train
+            )
+            bev_logits = self.backbone_mod(r["bev_features"], train=train)
+            batch["bev_logits"] = bev_logits
+        else:  # Cylinder3D dynamic VFE -> sparse backbone
+            r = self.reader_mod(
+                example["points"], example["point_valid"],
+                example.get("point_sem_labels"), train=train,
+            )
+            out = self.backbone_mod(r["sparse_tensor"], train=train)
+            batch.update(out)
+            if "voxel_sem_labels" in r:
+                batch["voxel_sem_labels"] = r["voxel_sem_labels"]
         batch["point_vcoors"] = r["point_vcoors"]
         ret = self.point_head_mod(batch, train=train)
         return ret, batch
