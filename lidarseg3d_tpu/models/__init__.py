@@ -12,7 +12,9 @@ from .backbones import unet_scn  # noqa: F401
 from .backbones import polarnet_unet  # noqa: F401
 from .backbones import cylinder3d  # noqa: F401
 from .img_backbones import hrnet  # noqa: F401
+from .img_backbones import resnet  # noqa: F401
 from .img_heads import fcn_mseg3d_head  # noqa: F401
+from .img_heads import fcn_head  # noqa: F401
 from .point_heads import batchloss_head  # noqa: F401
 from .point_heads import polarnet_head  # noqa: F401
 from .point_heads import mseg3d_head  # noqa: F401

@@ -157,3 +157,14 @@ def test_grid_sample_exactness():
     out = np.asarray(sample_points_cuv(jnp.asarray(f), jnp.asarray(cuv)))
     np.testing.assert_allclose(out[0, 0], f[0, 1, 3, 7], rtol=1e-5)
     np.testing.assert_array_equal(out[0, 1], 0)  # invalid point -> zeros
+
+
+def test_resnet_backbone_shapes():
+    from lidarseg3d_tpu.models import build_img_backbone
+    m = build_img_backbone(dict(type="ResNetMMCV", depth=18, base_channels=8))
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)),
+                       train=False)
+    outs = m.apply(variables, jnp.ones((2, 64, 96, 3)), train=False)
+    assert len(outs) == 4
+    assert outs[0].shape == (2, 16, 24, 8)
+    assert outs[3].shape == (2, 2, 3, 64)
