@@ -152,3 +152,11 @@ class UNetSCN3D(nn.Module):
             },
         )
         return out
+
+
+@BACKBONES.register_module
+class UNetCylinder3D(UNetSCN3D):
+    """Cylindrical-grid variant (cf. det3d/models/backbones/
+    scn_unet_cylinder3d.py:257). The rulebook machinery is grid-agnostic, so
+    the architecture is identical — only the coordinate system of the input
+    structure differs (built by Cylinder3DDynamicVoxelFeatureExtractor)."""

@@ -158,3 +158,23 @@ def test_eval_predict(model_and_vars):
     assert pred["pred_point_sem_labels"].shape == (B, N)
     labels = np.asarray(pred["pred_point_sem_labels"])
     assert (labels >= 0).all() and (labels < NCLS).all()
+
+
+def test_tiny_token_attention_matches_standard():
+    from lidarseg3d_tpu.models.readers.voxel_encoders import (
+        tiny_token_attention,
+    )
+    rng = np.random.default_rng(0)
+    N, P, E, H = 50, 5, 32, 4
+    q, k, v = (jnp.asarray(rng.standard_normal((N, P, E)).astype(np.float32))
+               for _ in range(3))
+    got = np.asarray(tiny_token_attention(q, k, v, H))
+    d = E // H
+    qh = np.asarray(q).reshape(N, P, H, d)
+    kh = np.asarray(k).reshape(N, P, H, d)
+    vh = np.asarray(v).reshape(N, P, H, d)
+    s = np.einsum("vphd,vqhd->vhpq", qh, kh) / np.sqrt(d)
+    a = np.exp(s - s.max(-1, keepdims=True))
+    a = a / a.sum(-1, keepdims=True)
+    want = np.einsum("vhpq,vqhd->vphd", a, vh).reshape(N, P, E)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
