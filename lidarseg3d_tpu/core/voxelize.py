@@ -23,7 +23,8 @@ def compute_grid_size(point_cloud_range, voxel_size):
     return np.round((pc_range[3:] - pc_range[:3]) / vsize).astype(np.int64)
 
 
-def points_to_voxel(points, voxel_size, coors_range, max_points=35, max_voxels=20000):
+def points_to_voxel(points, voxel_size, coors_range, max_points=35,
+                    max_voxels=20000, sort_by_key=False):
     """Hard-voxelize a point cloud.
 
     Args:
@@ -86,6 +87,17 @@ def points_to_voxel(points, voxel_size, coors_range, max_points=35, max_voxels=2
     )
 
     kept_keys = uniq[occ_order[:num_vox]]
+
+    if sort_by_key:
+        # reorder the kept voxels by spatial key: +x-adjacent voxels become
+        # adjacent rows, improving device gather locality and enabling
+        # windowed-tap reads (same voxel SET as first-occurrence order —
+        # truncation above is unchanged)
+        order = np.argsort(kept_keys, kind="stable")
+        kept_keys = kept_keys[order]
+        voxels = voxels[order]
+        num_points_per_voxel = num_points_per_voxel[order]
+
     cz = kept_keys // (grid_size[1] * grid_size[0])
     rem = kept_keys % (grid_size[1] * grid_size[0])
     cy = rem // grid_size[0]
@@ -98,7 +110,9 @@ class VoxelGenerator:
     """API-compatible with the reference VoxelGenerator
     (/root/reference/det3d/core/input/voxel_generator.py:5)."""
 
-    def __init__(self, voxel_size, point_cloud_range, max_num_points, max_voxels=20000):
+    def __init__(self, voxel_size, point_cloud_range, max_num_points,
+                 max_voxels=20000, sort_by_key=True):
+        self._sort_by_key = sort_by_key
         self._voxel_size = np.array(voxel_size, dtype=np.float32)
         self._point_cloud_range = np.array(point_cloud_range, dtype=np.float32)
         self._max_num_points = max_num_points
@@ -114,6 +128,7 @@ class VoxelGenerator:
             self._point_cloud_range,
             self._max_num_points,
             max_voxels,
+            sort_by_key=self._sort_by_key,
         )
 
     @property

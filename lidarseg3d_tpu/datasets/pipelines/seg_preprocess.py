@@ -102,6 +102,7 @@ class SegVoxelization:
             point_cloud_range=self.range,
             max_num_points=self.max_points_in_voxel,
             max_voxels=self.max_voxel_num[0],
+            sort_by_key=cfg.get("sort_by_key", True),
         )
 
     def __call__(self, sample, info):

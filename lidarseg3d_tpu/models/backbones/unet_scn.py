@@ -36,29 +36,34 @@ class UNetSCN3D(nn.Module):
     def __call__(self, st_in: sp.SparseTensor, train: bool = True):
         r = self._cfg("SCALING_RATIO", 1)
         caps = self._cfg("DOWN_CAPACITY_RATIOS", (0.5, 0.25, 0.15))
+        # windowed x-tap gathers: 3x fewer row reads per subm conv; requires
+        # key-sorted voxel rows (host voxelizer sort_by_key, on by default)
+        window = self._cfg("WINDOW_GATHER", True)
+        subm_rb = (sp.build_subm_window_rulebook if window
+                   else sp.build_subm_rulebook)
         V = st_in.structure.capacity
 
         # ---- structures + rulebooks (one dense table per stage) ----
         s1 = st_in.structure
         t1 = sp.dense_table(s1)
-        rb_subm1 = sp.build_subm_rulebook(s1, table=t1)
+        rb_subm1 = subm_rb(s1, table=t1)
 
         s2 = sp.downsample_structure(s1, 2, capacity=max(1, int(V * caps[0])))
         rb_down2 = sp.build_strided_rulebook(s1, s2, 3, 2, 1, table=t1)
         t2 = sp.dense_table(s2)
-        rb_subm2 = sp.build_subm_rulebook(s2, table=t2)
+        rb_subm2 = subm_rb(s2, table=t2)
         rb_inv2 = sp.build_inverse_rulebook(s2, s1, 3, 2, 1, table=t2)
 
         s3 = sp.downsample_structure(s2, 2, capacity=max(1, int(V * caps[1])))
         t3 = sp.dense_table(s3)
         rb_down3 = sp.build_strided_rulebook(s2, s3, 3, 2, 1, table=t2)
-        rb_subm3 = sp.build_subm_rulebook(s3, table=t3)
+        rb_subm3 = subm_rb(s3, table=t3)
         rb_inv3 = sp.build_inverse_rulebook(s3, s2, 3, 2, 1, table=t3)
 
         s4 = sp.downsample_structure(s3, 2, capacity=max(1, int(V * caps[2])))
         t4 = sp.dense_table(s4)
         rb_down4 = sp.build_strided_rulebook(s3, s4, 3, 2, (0, 1, 1), table=t3)
-        rb_subm4 = sp.build_subm_rulebook(s4, table=t4)
+        rb_subm4 = subm_rb(s4, table=t4)
         rb_inv4 = sp.build_inverse_rulebook(s4, s3, 3, 2, (0, 1, 1), table=t4)
 
         blk = lambda c, **kw: SparseConvBNReLU(c, **kw)

@@ -193,3 +193,31 @@ def test_sorted_lookup_matches_dense():
         np.where(np.asarray(d_found), np.asarray(d_idx), -7),
         np.where(np.asarray(s_found), np.asarray(s_idx), -7),
     )
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_window_subm_conv_matches_regular(seed):
+    """Windowed x-tap gather == plain 27-tap gather on key-sorted tables."""
+    rng = np.random.default_rng(seed)
+    B, Vc, shape, Cin, Cout = 2, 128, (5, 7, 9), 6, 4
+    coords = np.full((B, Vc, 3), -1, np.int32)
+    feats = np.zeros((B, Vc, Cin), np.float32)
+    nums = np.zeros((B,), np.int32)
+    for b in range(B):
+        total = shape[0] * shape[1] * shape[2]
+        n = min(Vc, int(total * 0.35))
+        lin = np.sort(rng.choice(total, size=n, replace=False))  # KEY-SORTED
+        z = lin // (shape[1] * shape[2])
+        rem = lin % (shape[1] * shape[2])
+        coords[b, :n] = np.stack([z, rem // shape[2], rem % shape[2]], 1)
+        feats[b, :n] = rng.standard_normal((n, Cin)).astype(np.float32)
+        nums[b] = n
+    st = sp.SparseTensor(
+        structure=sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape),
+        features=jnp.asarray(feats),
+    )
+    W = jnp.asarray(rng.standard_normal((27, Cin, Cout)).astype(np.float32))
+    regular = np.asarray(sp.subm_conv(st, W))
+    wrb = sp.build_subm_window_rulebook(st.structure)
+    windowed = np.asarray(sp.subm_conv(st, W, rulebook=wrb))
+    np.testing.assert_allclose(windowed, regular, rtol=1e-4, atol=1e-5)

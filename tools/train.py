@@ -30,6 +30,8 @@ def parse_args():
     p.add_argument("--batch_size", default=None, type=int)
     p.add_argument("--max_steps_per_epoch", default=None, type=int,
                    help="debug: truncate each epoch")
+    p.add_argument("--validate", action="store_true",
+                   help="run val mIoU after each epoch")
     return p.parse_args()
 
 
@@ -103,9 +105,41 @@ def main():
                               batch_stats=v["batch_stats"],
                               opt_state=state.opt_state)
 
+    if args.max_steps_per_epoch:
+        _orig_epoch = loader.epoch
+        _orig_steps = loader.steps_per_epoch
+
+        def _epoch(e):
+            import itertools
+            return itertools.islice(_orig_epoch(e), args.max_steps_per_epoch)
+
+        loader.epoch = _epoch
+        loader.steps_per_epoch = lambda: min(
+            _orig_steps(), args.max_steps_per_epoch
+        )
+
+    val_fn = None
+    if args.validate:
+        from lidarseg3d_tpu.apis.eval import run_eval, evaluate_dataset
+
+        val_dataset = build_dataset(cfg.data["val"].to_dict())
+        val_loader = SegDataLoader(
+            val_dataset, batch_size=batch_size,
+            max_voxels=cap.get("max_voxels", 160000),
+            max_points=cap.get("max_points", 140000),
+            shuffle=False, num_hosts=jax.process_count(),
+            host_id=jax.process_index(), num_workers=1, drop_last=False,
+        )
+
+        def val_fn(state, epoch):
+            dets = run_eval(model, state, val_loader, input_shape,
+                            val_dataset, logger, cfg.get("test_cfg"))
+            evaluate_dataset(val_dataset, dets, logger=logger)
+
     train_segmentor(
         model=model,
         loader=loader,
+        val_fn=val_fn,
         input_shape=input_shape,
         optimizer_cfg=dict(cfg.optimizer),
         lr_cfg=dict(cfg.lr_config),
