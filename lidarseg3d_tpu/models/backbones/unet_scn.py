@@ -38,7 +38,7 @@ class UNetSCN3D(nn.Module):
         caps = self._cfg("DOWN_CAPACITY_RATIOS", (0.5, 0.25, 0.15))
         # windowed x-tap gathers: 3x fewer row reads per subm conv; requires
         # key-sorted voxel rows (host voxelizer sort_by_key, on by default)
-        window = self._cfg("WINDOW_GATHER", True)
+        window = self._cfg("WINDOW_GATHER", False)
         subm_rb = (sp.build_subm_window_rulebook if window
                    else sp.build_subm_rulebook)
         V = st_in.structure.capacity
