@@ -129,10 +129,11 @@ class TransformerVoxelFeatureExtractor(nn.Module):
 
         x = TorchLinear(self.num_embed)(pf)  # feature_conv (1x1)
         x = x.reshape(B * V, P, self.num_embed)
+        # remat: the per-slot activations pad badly on TPU (P=5 -> 8
+        # sublanes, E=64 -> 128 lanes); recompute instead of storing
+        Layer = nn.remat(TransformerEncoderLayerPreNorm)
         for _ in range(self.num_layers):
-            x = TransformerEncoderLayerPreNorm(
-                self.num_embed, self.num_head, self.num_embed * 2
-            )(x)
+            x = Layer(self.num_embed, self.num_head, self.num_embed * 2)(x)
         x = x.reshape(B, V, P, self.num_embed)
         voxel_features = jnp.max(x, axis=2)  # final max pool over slots
 

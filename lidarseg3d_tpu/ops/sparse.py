@@ -126,8 +126,7 @@ def _flat_features(features):
     return jnp.concatenate([flat, zero], axis=0)
 
 
-def gather_gemm(feat_flat_ext, gidx, weights, group=9, out_shape=None,
-                out_dtype=jnp.float32):
+def _gather_gemm_core(feat_flat_ext, gidx, weights, out_dtype=jnp.float32):
     """sum_k take(feat_flat_ext, gidx[k]) @ weights[k], scanned over taps.
 
     feat_flat_ext: [B*V_in + 1, Cin] (last row zeros)
@@ -152,6 +151,20 @@ def gather_gemm(feat_flat_ext, gidx, weights, group=9, out_shape=None,
     acc = jnp.zeros((B * Vout, Cout), out_dtype)
     acc, _ = jax.lax.scan(body, acc, (gidx, weights))
     return acc.reshape(B, Vout, Cout).astype(feat_flat_ext.dtype)
+
+
+# rematerialized: without checkpointing, scan saves the gathered [B*V, Cin]
+# residual of EVERY tap for the backward pass (~0.5 GB per conv at
+# SemanticKITTI scale -> train-step OOM); recomputing the gathers in the
+# backward trades ~1 extra forward for ~27x less activation memory.
+_gather_gemm_remat = jax.checkpoint(_gather_gemm_core, static_argnums=(3,))
+
+
+def gather_gemm(feat_flat_ext, gidx, weights, group=9, out_shape=None,
+                out_dtype=jnp.float32):
+    if isinstance(gidx, (list, tuple)):
+        gidx = jnp.stack(list(gidx))
+    return _gather_gemm_remat(feat_flat_ext, gidx, weights, out_dtype)
 
 
 def build_subm_rulebook(s: SparseStructure, kernel_size=3, table=None):
@@ -239,7 +252,7 @@ def _packed_windows(features):
     )
 
 
-def window_gather_gemm(features, wrb, weights, out_dtype=jnp.float32):
+def _window_gather_gemm_core(features, wrb, weights, out_dtype=jnp.float32):
     """Windowed submanifold conv: 9 packed-window gathers + tap alignment.
 
     features: [B, V, Cin]; wrb: from build_subm_window_rulebook;
@@ -269,6 +282,10 @@ def window_gather_gemm(features, wrb, weights, out_dtype=jnp.float32):
     acc0 = jnp.zeros((B * V, Cout), out_dtype)
     acc, _ = jax.lax.scan(body, acc0, (wrb["w_gidx"], wrb["slots"], w27))
     return acc.reshape(B, V, Cout).astype(features.dtype)
+
+
+window_gather_gemm = jax.checkpoint(_window_gather_gemm_core,
+                                    static_argnums=(3,))
 
 
 def subm_conv(st: SparseTensor, weights, kernel_size=3, group=9, rulebook=None):
