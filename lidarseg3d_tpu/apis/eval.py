@@ -30,10 +30,23 @@ def run_eval(
     latencies = []
     pending = {}  # token -> (softmax accum, count, n_points)
     n_dev = mesh.devices.size
-    for it, batch in enumerate(loader.epoch(0)):
-        dev_batch = example_to_device(pad_batch_rows(batch, n_dev), mesh)
-        t0 = time.time()
-        pred = jax.device_get(eval_step(state, dev_batch))
+
+    def batched_preds():
+        """One-step pipelining: dispatch batch i+1 before fetching batch i
+        (hides the host->device RPC latency behind device compute)."""
+        prev = None
+        for batch in loader.epoch(0):
+            dev_batch = example_to_device(pad_batch_rows(batch, n_dev), mesh)
+            t0 = time.time()
+            fut = eval_step(state, dev_batch)  # async dispatch
+            if prev is not None:
+                yield prev
+            prev = (batch, fut, t0)
+        if prev is not None:
+            yield prev
+
+    for it, (batch, fut, t0) in enumerate(batched_preds()):
+        pred = jax.device_get(fut)
         dt = time.time() - t0
         latencies.append(dt / len(batch["metadata"]))
         npts = batch["num_points_total"]

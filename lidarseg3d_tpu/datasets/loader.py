@@ -93,25 +93,29 @@ class SegDataLoader:
         )
 
     def epoch(self, epoch):
-        """Yield batches for one epoch with background prefetching."""
+        """Yield batches for one epoch, prepared by a worker pool.
+
+        cv2 / numpy release the GIL for the heavy kernels, so threads give
+        real parallelism for the voxelize + image-augmentation pipeline
+        (SURVEY.md §7.3 item 6: host pipeline must keep the TPU fed)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         batches = self.sampler.epoch_indices(epoch)
-        q = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-
-        def worker():
-            try:
-                for step, bidx in enumerate(batches):
-                    q.put(self._make_batch(bidx, epoch, step))
-            except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
-            q.put(stop)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            window = max(self.prefetch, self.num_workers)
+            futures = [
+                pool.submit(self._make_batch, bidx, epoch, step)
+                for step, bidx in enumerate(batches[:window])
+            ]
+            nxt = len(futures)
+            for i in range(len(batches)):
+                batch = futures[i].result()
+                if nxt < len(batches):
+                    futures.append(
+                        pool.submit(self._make_batch, batches[nxt], epoch, nxt)
+                    )
+                    nxt += 1
+                yield batch
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)

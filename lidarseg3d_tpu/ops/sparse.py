@@ -167,6 +167,9 @@ def gather_gemm(feat_flat_ext, gidx, weights, group=9, out_shape=None,
     return _gather_gemm_remat(feat_flat_ext, gidx, weights, out_dtype)
 
 
+
+
+
 def build_subm_rulebook(s: SparseStructure, kernel_size=3, table=None):
     """Global gather indices for a submanifold conv on structure ``s``.
 
@@ -284,8 +287,13 @@ def _window_gather_gemm_core(features, wrb, weights, out_dtype=jnp.float32):
     return acc.reshape(B, V, Cout).astype(features.dtype)
 
 
-window_gather_gemm = jax.checkpoint(_window_gather_gemm_core,
-                                    static_argnums=(3,))
+_window_gather_gemm_remat = jax.checkpoint(
+    _window_gather_gemm_core, static_argnums=(3,)
+)
+
+
+def window_gather_gemm(features, wrb, weights, out_dtype=jnp.float32):
+    return _window_gather_gemm_remat(features, wrb, weights, out_dtype)
 
 
 def subm_conv(st: SparseTensor, weights, kernel_size=3, group=9, rulebook=None):
