@@ -201,3 +201,55 @@ def test_eval_miou_pipeline(tmp_path):
     }
     res2 = evaluate_dataset(ds, perfect)
     assert res2["results"]["mIoU"] > 99.9
+
+
+def test_one_cycle_momentum_schedule():
+    """beta1 schedule matches the fastai OneCycle formulas
+    (learning_schedules_fastai.py:77-97): cos 0.95->0.85 over pct_start,
+    then cos 0.85->0.95."""
+    from lidarseg3d_tpu.solver.optim import one_cycle_mom_fn, annealing_cos
+    mom = one_cycle_mom_fn(1000, (0.95, 0.85), pct_start=0.4)
+    assert abs(float(mom(0)) - 0.95) < 1e-6
+    assert abs(float(mom(400)) - 0.85) < 1e-4
+    assert abs(float(mom(1000)) - 0.95) < 1e-6
+    # midpoint of phase 1
+    want = float(annealing_cos(0.95, 0.85, jnp.float32(0.5)))
+    assert abs(float(mom(200)) - want) < 1e-6
+
+
+def test_loader_determinism(tmp_path):
+    root = str(tmp_path / "sequences")
+    write_fixture(root)
+    ds = build_dataset(dataset_cfg(root, train=True))
+    mk = lambda: SegDataLoader(ds, batch_size=2, max_voxels=1024,
+                               max_points=1400, seed=7, num_workers=2,
+                               drop_last=False)
+    b1 = list(mk().epoch(3))
+    b2 = list(mk().epoch(3))
+    assert len(b1) == len(b2)
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["voxels"], b["voxels"])
+    # different epoch -> different shuffle/augs
+    b3 = list(mk().epoch(4))
+    assert not np.array_equal(b1[0]["points"], b3[0]["points"])
+
+
+def test_forward_with_empty_padded_sample(tmp_path):
+    """Batch rows padded with empty samples (num_voxels=0) must produce
+    finite outputs (eval pads batches to the device count)."""
+    from lidarseg3d_tpu.datasets.batching import pad_batch_rows
+
+    root = str(tmp_path / "sequences")
+    write_fixture(root)
+    ds = build_dataset(dataset_cfg(root, train=False))
+    loader = SegDataLoader(ds, batch_size=1, max_voxels=1024, max_points=1600,
+                           shuffle=False, num_workers=1, drop_last=False)
+    batch = pad_batch_rows(next(loader.epoch(0)), 4)
+    model = build_detector(tiny_model_cfg())
+    ex = {k: jnp.asarray(v) for k, v in batch.items() if k != "metadata"}
+    ex["input_shape"] = input_shape()
+    variables = model.init(jax.random.PRNGKey(0), ex, train=False)
+    ret, bat = model.apply(variables, ex, train=False)
+    out = np.asarray(ret["out_logits"])
+    assert np.isfinite(out).all()
