@@ -192,7 +192,9 @@ def train_segmentor(
 
     start_epoch = 0
     if resume_from is not None:
-        state, start_epoch = load_checkpoint(work_dir, state, resume_from)
+        # resume_from: -1 or True -> latest checkpoint; N -> epoch_N
+        epoch_sel = None if resume_from in (-1, True) else resume_from
+        state, start_epoch = load_checkpoint(work_dir, state, epoch_sel)
         state = mesh_lib.replicate_tree(state, mesh)
         logger.info(f"resumed from epoch {start_epoch}")
 

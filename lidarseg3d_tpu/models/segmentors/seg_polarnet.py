@@ -1,12 +1,16 @@
 """SegPolarNet: dynamic-VFE segmentor (PolarNet / Cylinder3D family).
 
 Re-implements det3d/models/detectors/seg_polarnet.py: the reader performs
-on-device dynamic voxelization; the backbone produces dense BEV logits;
-the head gathers per-point logits.
+on-device dynamic voxelization; the backbone produces dense BEV logits
+(PolarNet / Cylinder3D) or sparse per-voxel features (Cylinder3D _v2p, fed
+to a PointSegBatchlossHead with devoxelization in CYLINDRICAL metric space).
 """
 
+import numpy as np
 from flax import linen as nn
 
+from ...ops import dynamic_voxel as dv
+from ...ops import sparse as sp
 from .. import builder
 from ..registry import DETECTORS
 
@@ -25,11 +29,21 @@ class SegPolarNet(nn.Module):
     def setup(self):
         self.reader_mod = builder.build_reader(dict(self.reader))
         self.backbone_mod = builder.build_backbone(dict(self.backbone))
-        self.point_head_mod = builder.build_point_head(dict(self.point_head))
+        self.point_head_mod = self._make_head()
 
     @nn.nowrap
     def _make_head(self):
-        return builder.build_point_head(dict(self.point_head))
+        ph = dict(self.point_head)
+        if ph.get("type") == "PointSegBatchlossHead":
+            # v2p path: devoxelize on the cylindrical grid — voxel_size /
+            # range in (rho, phi, z) metric axes
+            lo = np.asarray(self.reader["point_cloud_range"][:3], np.float32)
+            hi = np.asarray(self.reader["point_cloud_range"][3:], np.float32)
+            gs = np.asarray(self.reader["grid_size"], np.float32)
+            ph.setdefault("voxel_size", tuple(((hi - lo) / gs).tolist()))
+            ph.setdefault("point_cloud_range",
+                          tuple(lo.tolist()) + tuple(hi.tolist()))
+        return builder.build_point_head(ph)
 
     def __call__(self, example, train: bool = True):
         """example: points [B, N, D], point_valid [B, N],
@@ -50,9 +64,28 @@ class SegPolarNet(nn.Module):
                 example.get("point_sem_labels"), train=train,
             )
             out = self.backbone_mod(r["sparse_tensor"], train=train)
-            batch.update(out)
-            if "voxel_sem_labels" in r:
-                batch["voxel_sem_labels"] = r["voxel_sem_labels"]
+            if "sparse_features" in out:  # _v2p: voxel features -> point head
+                st = out["sparse_features"]
+                # re-key the structure in reversed (z, phi, r) coord order so
+                # the batchloss head's grid devoxelization (which assumes
+                # zyx-ordered coords) works on the cylindrical grid
+                rev = sp.build_structure(
+                    st.coords[..., ::-1], st.structure.num_voxels,
+                    st.spatial_shape[::-1],
+                )
+                batch["conv_point_features"] = st.features
+                batch["conv_structure"] = rev
+                batch["conv_table"] = sp.dense_table(rev)
+                # queries in cylindrical metric space (rho, phi, z)
+                cyl = dv.cart2cylind(example["points"][..., :3])
+                batch["points"] = cyl
+                if "voxel_sem_labels" in r:
+                    batch["voxel_sem_labels"] = r["voxel_sem_labels"]
+                    batch["voxel_valid"] = st.structure.valid_mask()
+            else:
+                batch.update(out)
+                if "voxel_sem_labels" in r:
+                    batch["voxel_sem_labels"] = r["voxel_sem_labels"]
         batch["point_vcoors"] = r["point_vcoors"]
         ret = self.point_head_mod(batch, train=train)
         return ret, batch

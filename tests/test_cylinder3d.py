@@ -72,3 +72,35 @@ def test_cylinder3d_forward_loss():
     ret, bat = model.apply(variables, ex, train=False)
     pred = model.predict(ret, bat)
     assert pred["pred_point_sem_labels"].shape == ex["points"].shape[:2]
+
+
+def test_cylinder3d_v2p_with_batchloss_head():
+    c = cfg()
+    c["backbone"]["type"] = "Cylinder3D_Asymm_3d_spconv_v2p"
+    c["point_head"] = dict(
+        type="PointSegBatchlossHead", class_agnostic=False, num_class=NCLS,
+        model_cfg=dict(CONV_IN_DIM=4 * 8, CONV_CLS_FC=[16],
+                       CONV_ALIGN_DIM=16, OUT_CLS_FC=[16], IGNORED_LABEL=0),
+    )
+    model = build_detector(c)
+    ex = make_example(seed=1)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        ex, train=False,
+    )
+
+    def loss_fn(p):
+        (ret, bat), _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, ex,
+            train=True, mutable=["batch_stats"],
+        )
+        return model.loss(ret, bat)
+
+    (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss))
+    g = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(grads))
+    assert g > 0 and np.isfinite(g)
+    ret, bat = model.apply(variables, ex, train=False)
+    pred = model.predict(ret, bat)
+    assert pred["pred_point_sem_labels"].shape == ex["points"].shape[:2]
