@@ -11,6 +11,8 @@ from .readers import dynamic_vfe  # noqa: F401
 from .backbones import unet_scn  # noqa: F401
 from .backbones import polarnet_unet  # noqa: F401
 from .backbones import cylinder3d  # noqa: F401
+from .backbones import scn_det  # noqa: F401
+from .necks import rpn  # noqa: F401
 from .img_backbones import hrnet  # noqa: F401
 from .img_backbones import resnet  # noqa: F401
 from .img_heads import fcn_mseg3d_head  # noqa: F401
