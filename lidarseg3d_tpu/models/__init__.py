@@ -13,6 +13,8 @@ from .backbones import polarnet_unet  # noqa: F401
 from .backbones import cylinder3d  # noqa: F401
 from .backbones import scn_det  # noqa: F401
 from .necks import rpn  # noqa: F401
+from .bbox_heads import center_head  # noqa: F401
+from .segmentors import voxelnet  # noqa: F401
 from .img_backbones import hrnet  # noqa: F401
 from .img_backbones import resnet  # noqa: F401
 from .img_heads import fcn_mseg3d_head  # noqa: F401

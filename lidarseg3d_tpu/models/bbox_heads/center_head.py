@@ -1,0 +1,182 @@
+"""CenterPoint detection head (CenterHead).
+
+Re-implements the core of /root/reference/det3d/models/bbox_heads/
+center_head.py:168 (single-frame, no DCN / two-stage): shared conv, per-task
+separable heads (reg/height/dim/rot/hm), penalty-reduced focal loss on
+gaussian heatmaps, masked L1 regression at ground-truth centers, and a
+top-K + rotated-NMS decoder built on ops/box_ops.
+
+Targets (heatmaps/ind/mask/cat/anno_box) are produced on the host by
+``lidarseg3d_tpu.core.center_targets.assign_center_targets`` (the reference
+builds them in the AssignLabel pipeline stage).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops import box_ops
+from ..layers import MaskedBatchNorm
+from ..registry import HEADS
+
+
+class SepHead(nn.Module):
+    heads: dict  # name -> (out_channels, num_conv)
+    head_conv: int = 64
+
+    @nn.compact
+    def __call__(self, x, train):
+        out = {}
+        for name, (c_out, num_conv) in dict(self.heads).items():
+            y = x
+            for _ in range(int(num_conv) - 1):
+                y = nn.Conv(self.head_conv, (3, 3),
+                            padding=((1, 1), (1, 1)))(y)
+                y = MaskedBatchNorm()(y, train=train)
+                y = jax.nn.relu(y)
+            bias_init = (
+                nn.initializers.constant(-2.19) if name == "hm"
+                else nn.initializers.zeros
+            )
+            out[name] = nn.Conv(int(c_out), (3, 3), padding=((1, 1), (1, 1)),
+                                bias_init=bias_init)(y)
+        return out
+
+
+def fast_focal_loss(pred_hm, gt_hm, ind, mask, cat):
+    """Penalty-reduced focal loss (CornerNet/CenterNet style).
+
+    pred_hm: [B, H, W, C] sigmoided; gt_hm: same; ind: [B, M] flat positions;
+    mask: [B, M]; cat: [B, M] class of each object."""
+    eps = 1e-4
+    pred_hm = jnp.clip(pred_hm, eps, 1 - eps)
+    neg_weights = jnp.power(1 - gt_hm, 4)
+    neg_loss = jnp.log(1 - pred_hm) * jnp.power(pred_hm, 2) * neg_weights
+    # exclude exact-center positives from the negative term via gt==1 mask
+    is_pos = (gt_hm >= 1.0 - 1e-6).astype(pred_hm.dtype)
+    neg_loss = jnp.sum(neg_loss * (1 - is_pos))
+
+    B, H, W, C = pred_hm.shape
+    flat = pred_hm.reshape(B, H * W, C)
+    picked = jnp.take_along_axis(
+        flat, ind[..., None].astype(jnp.int32), axis=1
+    )  # [B, M, C]
+    pos = jnp.take_along_axis(
+        picked, cat[..., None].astype(jnp.int32), axis=2
+    )[..., 0]  # [B, M]
+    mf = mask.astype(pred_hm.dtype)
+    pos_loss = jnp.sum(jnp.log(pos) * jnp.power(1 - pos, 2) * mf)
+    num_pos = jnp.maximum(jnp.sum(mf), 1.0)
+    return -(pos_loss + neg_loss) / num_pos
+
+
+def reg_loss(pred, target, ind, mask):
+    """Masked L1 at object centers; pred [B, H, W, D], target [B, M, D]."""
+    B, H, W, D = pred.shape
+    flat = pred.reshape(B, H * W, D)
+    picked = jnp.take_along_axis(
+        flat, jnp.broadcast_to(ind[..., None], (B, ind.shape[1], D)).astype(
+            jnp.int32), axis=1,
+    )
+    mf = mask[..., None].astype(pred.dtype)
+    loss = jnp.abs(picked - target) * mf
+    return jnp.sum(loss, axis=(0, 1)) / jnp.maximum(jnp.sum(mf), 1.0)
+
+
+@HEADS.register_module
+class CenterHead(nn.Module):
+    in_channels: int = 512
+    tasks: tuple = ()  # tuple of dict(num_class=, class_names=[...])
+    weight: float = 0.25  # loc loss weight
+    code_weights: tuple = (1.0,) * 8
+    common_heads: dict = None  # e.g. {reg:(2,2), height:(1,2), ...}
+    share_conv_channel: int = 64
+    num_hm_conv: int = 2
+    dataset: str = "waymo"
+    logger: object = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        """x: [B, H, W, C] BEV features -> list of per-task pred dicts."""
+        y = nn.Conv(self.share_conv_channel, (3, 3),
+                    padding=((1, 1), (1, 1)), use_bias=False)(x)
+        y = MaskedBatchNorm()(y, train=train)
+        y = jax.nn.relu(y)
+        rets = []
+        for task in self.tasks:
+            heads = dict(self.common_heads or {
+                "reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2),
+            })
+            heads["hm"] = (int(task["num_class"]), self.num_hm_conv)
+            rets.append(SepHead(heads)(y, train))
+        return rets
+
+    def get_loss(self, rets, targets):
+        """targets: per-task dicts with hm [B,H,W,C], ind/mask/cat [B,M],
+        anno_box [B,M,D] (assign_center_targets)."""
+        total = 0.0
+        ldict = {}
+        for ti, (ret, tgt) in enumerate(zip(rets, targets)):
+            hm = jax.nn.sigmoid(ret["hm"])
+            hm_loss = fast_focal_loss(hm, tgt["hm"], tgt["ind"], tgt["mask"],
+                                      tgt["cat"])
+            box_pred = jnp.concatenate(
+                [ret["reg"], ret["height"], ret["dim"], ret["rot"]], axis=-1
+            )
+            loc = reg_loss(box_pred, tgt["anno_box"], tgt["ind"], tgt["mask"])
+            cw = jnp.asarray(self.code_weights[: loc.shape[0]])
+            loc_loss = jnp.sum(loc * cw)
+            total = total + hm_loss + self.weight * loc_loss
+            ldict[f"task{ti}_hm_loss"] = hm_loss
+            ldict[f"task{ti}_loc_loss"] = loc_loss
+        return total, ldict
+
+    @staticmethod
+    def decode(rets, voxel_size, pc_range, out_factor=8, k=100,
+               score_threshold=0.1, nms_iou=0.5, max_out=83):
+        """Per-task top-K decode + rotated BEV NMS.
+
+        Returns list of dicts(box3d [max_out, 7], scores, labels, valid)."""
+        outs = []
+        for ret in rets:
+            hm = jax.nn.sigmoid(ret["hm"])
+            B, H, W, C = hm.shape
+            flat = hm.reshape(B, H * W * C)
+            scores, idx = jax.lax.top_k(flat, k)
+            cls = idx % C
+            pos = idx // C
+            ys = (pos // W).astype(jnp.float32)
+            xs = (pos % W).astype(jnp.float32)
+
+            def pick(t):
+                f = t.reshape(B, H * W, t.shape[-1])
+                return jnp.take_along_axis(
+                    f, jnp.broadcast_to(pos[..., None],
+                                        (B, k, t.shape[-1])), axis=1)
+
+            reg = pick(ret["reg"])
+            height = pick(ret["height"])[..., 0]
+            dim = jnp.exp(pick(ret["dim"]))
+            rot = pick(ret["rot"])
+            yaw = jnp.arctan2(rot[..., 0], rot[..., 1])
+            x = (xs + reg[..., 0]) * out_factor * voxel_size[0] + pc_range[0]
+            y = (ys + reg[..., 1]) * out_factor * voxel_size[1] + pc_range[1]
+            boxes7 = jnp.stack(
+                [x, y, height, dim[..., 0], dim[..., 1], dim[..., 2], yaw],
+                axis=-1,
+            )
+
+            def one(b7, sc):
+                bev = jnp.stack(
+                    [b7[:, 0], b7[:, 1], b7[:, 3], b7[:, 4], b7[:, 6]], -1)
+                sel, valid = box_ops.nms_bev(bev, sc, nms_iou, max_out)
+                sel_c = jnp.clip(sel, 0, k - 1)
+                return (b7[sel_c], sc[sel_c],
+                        valid & (sc[sel_c] > score_threshold), sel_c)
+
+            b, s, v, sel = jax.vmap(one)(boxes7, scores)
+            labels = jnp.take_along_axis(cls, sel, axis=1)
+            outs.append({"box3d": b, "scores": s, "labels": labels,
+                         "valid": v})
+        return outs

@@ -1,0 +1,68 @@
+"""VoxelNet: CenterPoint-style single-stage 3D detector.
+
+Re-implements /root/reference/det3d/models/detectors/voxelnet.py:8 with the
+TPU stack: VFE reader -> SpMiddleResNetFHD -> RPN -> CenterHead. Targets are
+host-assigned (core/center_targets.py).
+"""
+
+from flax import linen as nn
+
+from ...ops import sparse as sp
+from .. import builder
+from ..registry import DETECTORS
+from ...utils.registry import build_from_cfg
+from ..registry import HEADS
+
+
+@DETECTORS.register_module
+class VoxelNet(nn.Module):
+    reader: dict = None
+    backbone: dict = None
+    neck: dict = None
+    bbox_head: dict = None
+    pretrained: str = None
+    train_cfg: dict = None
+    test_cfg: dict = None
+
+    def setup(self):
+        self.reader_mod = builder.build_reader(dict(self.reader))
+        self.backbone_mod = builder.build_backbone(dict(self.backbone))
+        self.neck_mod = builder.build_neck(dict(self.neck))
+        self.head_mod = build_from_cfg(dict(self.bbox_head), HEADS)
+
+    @nn.nowrap
+    def _make_head(self):
+        return build_from_cfg(dict(self.bbox_head), HEADS)
+
+    def __call__(self, example, train: bool = True):
+        voxel_features = self.reader_mod(
+            example["voxels"], example["num_points"], example["coordinates"],
+            train=train,
+        )
+        struct = sp.build_structure(
+            example["coordinates"], example["num_voxels"],
+            example["input_shape"],
+        )
+        st = sp.SparseTensor(structure=struct, features=voxel_features)
+        bev = self.backbone_mod(st, train=train)
+        feats = self.neck_mod(bev, train=train)
+        rets = self.head_mod(feats, train=train)
+        return rets, dict(example)
+
+    @nn.nowrap
+    def loss(self, rets, batch):
+        total, ldict = self._make_head().get_loss(rets, batch["det_targets"])
+        ldict["loss"] = total
+        return total, ldict
+
+    @nn.nowrap
+    def predict(self, rets, batch, test_cfg=None):
+        cfg = dict(test_cfg or self.test_cfg or {})
+        return self._make_head().decode(
+            rets,
+            voxel_size=cfg.get("voxel_size", (0.1, 0.1)),
+            pc_range=cfg.get("pc_range", (-75.2, -75.2)),
+            out_factor=cfg.get("out_size_factor", 8),
+            score_threshold=cfg.get("score_threshold", 0.1),
+            nms_iou=cfg.get("nms_iou_threshold", 0.5),
+        )
