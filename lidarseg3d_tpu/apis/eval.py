@@ -5,13 +5,22 @@ TTA merging: variants of one frame arrive as consecutive batch rows
 (SegCompoundAug emits them in order); softmax outputs are arithmetically
 averaged before argmax (point_seg_batchloss_head.py:190-245,
 merge_type="ArithmeticMean").
+
+Multi-host: each process fetches only ITS batch rows
+(mesh_lib.fetch_local_rows) and the final confusion histogram is allreduced
+across hosts (datasets call parallel.dist.allreduce_hist) — a [C, C] array
+instead of the reference's pickled per-point all_gather
+(torchie/trainer/utils.py:114-153). run_eval_device_hist keeps even the
+histogram on device: XLA psums it across all chips inside the jit step.
 """
 
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
+from ..core.seg_metrics import confusion_hist_jax, per_class_iou
 from ..datasets.batching import pad_batch_rows
 from ..parallel import mesh as mesh_lib
 from .train import example_to_device, make_eval_step
@@ -37,18 +46,29 @@ def run_eval(
         prev = None
         for batch in loader.epoch(0):
             dev_batch = example_to_device(pad_batch_rows(batch, n_dev), mesh)
-            t0 = time.time()
             fut = eval_step(state, dev_batch)  # async dispatch
             if prev is not None:
                 yield prev
-            prev = (batch, fut, t0)
+            prev = (batch, fut)
         if prev is not None:
             yield prev
 
-    for it, (batch, fut, t0) in enumerate(batched_preds()):
-        pred = jax.device_get(fut)
-        dt = time.time() - t0
-        latencies.append(dt / len(batch["metadata"]))
+    def timed_preds():
+        """Unpipelined: one batch in flight, dispatch->ready timed per batch
+        (p50 latency parity with the reference --speed_test,
+        tools/dist_test.py:189-230). Collate of the NEXT batch never hides
+        inside the timed window."""
+        for batch in loader.epoch(0):
+            dev_batch = example_to_device(pad_batch_rows(batch, n_dev), mesh)
+            t0 = time.time()
+            fut = eval_step(state, dev_batch)
+            jax.block_until_ready(fut)
+            latencies.append((time.time() - t0) / len(batch["metadata"]))
+            yield batch, fut
+
+    for it, (batch, fut) in enumerate(
+            timed_preds() if speed_test else batched_preds()):
+        pred = mesh_lib.fetch_local_rows(fut)
         npts = batch["num_points_total"]
         for b, md in enumerate(batch["metadata"]):
             token = md["token"] if md else f"frame_{it}_{b}"
@@ -76,9 +96,49 @@ def run_eval(
         if len(lat):
             logger.info(
                 f"speed_test: mean {lat.mean()*1000:.1f} ms/frame, "
-                f"p50 {np.percentile(lat, 50)*1000:.1f} ms"
+                f"p50 {np.percentile(lat, 50)*1000:.1f} ms (unpipelined)"
             )
     return detections
+
+
+def run_eval_device_hist(model, state, loader, input_shape, num_classes,
+                         logger=None):
+    """Fully device-side validation mIoU.
+
+    The jitted step computes the [C, C] confusion histogram of the whole
+    (globally sharded) batch on device; XLA reduces it across every chip and
+    host, so the only host transfer per batch is C*C ints. Reference
+    equivalent: trainer.val + all_gather (dist_test.py:243), redesigned as a
+    histogram psum. Returns (miou, per-class iou over classes 1..C-1).
+    """
+    mesh = mesh_lib.make_mesh()
+    eval_fn = make_eval_step(model, input_shape)
+
+    @jax.jit
+    def step(state, batch):
+        pred = eval_fn(state, batch)
+        return confusion_hist_jax(
+            pred["pred_point_sem_labels"],
+            batch["point_sem_labels"],
+            num_classes,
+            valid=batch["point_valid"] > 0,
+        )
+
+    n_dev = mesh.devices.size
+    hist = np.zeros((num_classes, num_classes), np.int64)
+    for batch in loader.epoch(0):
+        dev_batch = example_to_device(pad_batch_rows(batch, n_dev), mesh)
+        hist += np.asarray(jax.device_get(step(state, dev_batch)),
+                           dtype=np.int64)
+    # reference crop semantics (fast_hist_crop drops the ignore class from
+    # both axes): IoU over classes 1..C-1 with ignore-labelled points
+    # excluded from every union
+    sub = hist[1:, 1:]
+    ious = per_class_iou(sub)
+    miou = float(np.nanmean(ious))
+    if logger is not None:
+        logger.info(f"device-hist val mIoU: {miou * 100:.2f}")
+    return miou, ious
 
 
 def evaluate_dataset(dataset, detections, output_dir=None, testset=False,

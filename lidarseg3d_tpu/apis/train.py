@@ -44,7 +44,21 @@ def example_to_device(batch, mesh):
 
 def create_train_state(model, example, rng, tx):
     k1, k2 = jax.random.split(rng)
-    variables = model.init({"params": k1, "dropout": k2}, example, train=False)
+    # On TPU, init under jit: eager init dispatches every rulebook-build op
+    # over the device RPC individually (minutes on axon). On CPU keep eager
+    # init (XLA:CPU compiles the full init graph very slowly).
+    ishape = example.get("input_shape")
+    arrs = {k: v for k, v in example.items() if k != "input_shape"}
+
+    def _init(rngs, arrs):
+        e = dict(arrs)
+        if ishape is not None:
+            e["input_shape"] = ishape
+        return model.init(rngs, e, train=False)
+
+    if jax.default_backend() == "tpu":
+        _init = jax.jit(_init)
+    variables = _init({"params": k1, "dropout": k2}, arrs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
@@ -104,16 +118,28 @@ def make_eval_step(model, input_shape):
 
 
 def save_checkpoint(work_dir, state, epoch, keep_latest=True):
+    """Process-0-guarded checkpoint write + cross-host barrier (the jax
+    equivalent of the reference's rank-0 save, trainer.py:346-360)."""
     import orbax.checkpoint as ocp
 
+    from ..parallel import dist
+
     path = os.path.abspath(os.path.join(work_dir, f"epoch_{epoch}"))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
-    ckptr.wait_until_finished()
-    if keep_latest:
-        latest = os.path.join(work_dir, "latest.txt")
-        with open(latest, "w") as f:
-            f.write(f"epoch_{epoch}\n")
+    if dist.is_main_process():
+        # params are replicated; process 0 holds a full addressable copy
+        host_state = jax.tree.map(
+            lambda x: np.asarray(x.addressable_shards[0].data)
+            if isinstance(x, jax.Array) else np.asarray(x),
+            state,
+        )
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, host_state, force=True)
+        ckptr.wait_until_finished()
+        if keep_latest:
+            latest = os.path.join(work_dir, "latest.txt")
+            with open(latest, "w") as f:
+                f.write(f"epoch_{epoch}\n")
+    dist.barrier(f"ckpt_epoch_{epoch}")
     return path
 
 

@@ -137,6 +137,10 @@ class SemanticKITTIDataset:
             pl = np.asarray(pred["pred_point_sem_labels"])
             assert pl.shape[0] == gt.shape[0], (pl.shape, gt.shape)
             hist = hist + fast_hist_crop(pl, gt, unique_label)
+        # multi-host: sum per-host shard histograms (dist.allreduce_hist
+        # is the identity in single-process runs)
+        from ...parallel.dist import allreduce_hist
+        hist = allreduce_hist(hist)
         ious = per_class_iou(hist)
         miou = float(np.nanmean(ious))
         result = {"mIoU": miou * 100}

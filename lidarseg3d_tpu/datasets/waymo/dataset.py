@@ -141,6 +141,10 @@ class SemanticWaymoDataset:
             gt = anno["point_sem_labels"]
             pl = np.asarray(pred["pred_point_sem_labels"])[: len(gt)]
             hist = hist + fast_hist_crop(pl, gt, unique_label)
+        # multi-host: sum per-host shard histograms (dist.allreduce_hist
+        # is the identity in single-process runs)
+        from ...parallel.dist import allreduce_hist
+        hist = allreduce_hist(hist)
         ious = per_class_iou(hist)
         result = {"mIoU": float(np.nanmean(ious)) * 100}
         for c, ciou in zip(CLASS_NAMES[1:], ious):

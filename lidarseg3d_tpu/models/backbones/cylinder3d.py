@@ -43,6 +43,22 @@ class _RBCache:
             )
         return self.rbs[key]
 
+    def strided_pair(self, s_in, s_out, ks, stride, pad):
+        """(strided rulebook, its transpose = the inverse rulebook) — shared
+        between the encoder's pooling conv and the decoder's inverse conv
+        (spconv indice_key semantics + the fused kernel's backward)."""
+        key = ("sp", id(s_in), id(s_out), tuple(sp._triple(ks)),
+               tuple(sp._triple(stride)), tuple(sp._triple(pad)))
+        if key not in self.rbs:
+            rb = sp.build_strided_rulebook(
+                s_in, s_out, ks, stride, pad, table=self.table(s_in)
+            )
+            rb_inv = sp.build_inverse_rulebook(
+                s_out, s_in, ks, stride, pad, table=self.table(s_out)
+            )
+            self.rbs[key] = (rb, rb_inv)
+        return self.rbs[key]
+
 
 class AsymmConvBNAct(nn.Module):
     features: int
@@ -107,10 +123,9 @@ class AsymmResBlock(nn.Module):
             return resA, resA, None
         stride = (2, 2, 2) if self.height_pooling else (2, 2, 1)
         down_struct = sp.downsample_structure(s, stride, self.down_capacity)
-        rb = sp.build_strided_rulebook(
-            s, down_struct, 3, stride, 1, table=cache.table(s)
-        )
-        pooled = SparseConv3d(self.features, 3, stride, 1)(resA, down_struct, rb)
+        rb, rb_inv = cache.strided_pair(s, down_struct, 3, stride, 1)
+        pooled = SparseConv3d(self.features, 3, stride, 1)(
+            resA, down_struct, rb, rb_inv)
         return pooled, resA, stride
 
 
@@ -125,10 +140,9 @@ class AsymmUpBlock(nn.Module):
         k13 = (1, 3, 3)
         k31 = (3, 1, 3)
         up = AsymmConvBNAct(self.features, k33)(st, cache.subm(s_low, k33), train)
-        rb_inv = sp.build_inverse_rulebook(
-            s_low, s_hi, 3, stride, 1, table=cache.table(s_low)
-        )
-        up = SparseInverseConv3d(self.features, 3, stride, 1)(up, s_hi, rb_inv)
+        rb_strided, rb_inv = cache.strided_pair(s_hi, s_low, 3, stride, 1)
+        up = SparseInverseConv3d(self.features, 3, stride, 1)(
+            up, s_hi, rb_inv, rb_strided)
         up = sp.SparseTensor(
             structure=s_hi, features=up.features + skip.features
         )

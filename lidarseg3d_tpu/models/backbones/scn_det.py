@@ -39,9 +39,11 @@ class SpMiddleResNetFHD(nn.Module):
             out_struct = sp.downsample_structure(cin_struct, 2, cap)
             rb_d = sp.build_strided_rulebook(cin_struct, out_struct, 3, 2,
                                              pad, table=table)
-            y = blk(feat, conv_type="spconv", padding=pad)(
-                x, rb_d, out_struct=out_struct, train=train)
             t = sp.dense_table(out_struct)
+            rb_d_t = sp.build_inverse_rulebook(out_struct, cin_struct, 3, 2,
+                                               pad, table=t)
+            y = blk(feat, conv_type="spconv", padding=pad)(
+                x, rb_d, out_struct=out_struct, rulebook_t=rb_d_t, train=train)
             rb = sp.build_subm_rulebook(out_struct, table=t)
             y = SparseBasicBlock(feat)(y, rb, train=train)
             y = SparseBasicBlock(feat)(y, rb, train=train)
@@ -55,9 +57,10 @@ class SpMiddleResNetFHD(nn.Module):
         s5 = sp.downsample_structure(s4, (2, 1, 1), max(1, int(V * caps[3])))
         rb5 = sp.build_strided_rulebook(s4, s5, (3, 1, 1), (2, 1, 1), 0,
                                         table=t4)
+        rb5_t = sp.build_inverse_rulebook(s5, s4, (3, 1, 1), (2, 1, 1), 0)
         x = blk(128, conv_type="spconv", kernel_size=(3, 1, 1),
                 stride=(2, 1, 1), padding=0)(x, rb5, out_struct=s5,
-                                             train=train)
+                                             rulebook_t=rb5_t, train=train)
 
         # densify: [B, Z', Y', X', C] -> BEV [B, Y', X', Z'*C]
         Z, Y, X = s5.spatial_shape

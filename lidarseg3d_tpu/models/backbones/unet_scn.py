@@ -36,11 +36,7 @@ class UNetSCN3D(nn.Module):
     def __call__(self, st_in: sp.SparseTensor, train: bool = True):
         r = self._cfg("SCALING_RATIO", 1)
         caps = self._cfg("DOWN_CAPACITY_RATIOS", (0.5, 0.25, 0.15))
-        # windowed x-tap gathers: 3x fewer row reads per subm conv; requires
-        # key-sorted voxel rows (host voxelizer sort_by_key, on by default)
-        window = self._cfg("WINDOW_GATHER", False)
-        subm_rb = (sp.build_subm_window_rulebook if window
-                   else sp.build_subm_rulebook)
+        subm_rb = sp.build_subm_rulebook
         V = st_in.structure.capacity
 
         # ---- structures + rulebooks (one dense table per stage) ----
@@ -74,19 +70,19 @@ class UNetSCN3D(nn.Module):
         x_conv1 = SparseBasicBlock(16 * r)(x_conv1, rb_subm1, train=train)
 
         x = blk(32 * r, conv_type="spconv", padding=1)(
-            x_conv1, rb_down2, out_struct=s2, train=train
+            x_conv1, rb_down2, out_struct=s2, rulebook_t=rb_inv2, train=train
         )
         x_conv2 = SparseBasicBlock(32 * r)(x, rb_subm2, train=train)
         x_conv2 = SparseBasicBlock(32 * r)(x_conv2, rb_subm2, train=train)
 
         x = blk(64 * r, conv_type="spconv", padding=1)(
-            x_conv2, rb_down3, out_struct=s3, train=train
+            x_conv2, rb_down3, out_struct=s3, rulebook_t=rb_inv3, train=train
         )
         x_conv3 = SparseBasicBlock(64 * r)(x, rb_subm3, train=train)
         x_conv3 = SparseBasicBlock(64 * r)(x_conv3, rb_subm3, train=train)
 
         x = blk(64 * r, conv_type="spconv", padding=(0, 1, 1))(
-            x_conv3, rb_down4, out_struct=s4, train=train
+            x_conv3, rb_down4, out_struct=s4, rulebook_t=rb_inv4, train=train
         )
         x_conv4 = SparseBasicBlock(64 * r)(x, rb_subm4, train=train)
         x_conv4 = SparseBasicBlock(64 * r)(x_conv4, rb_subm4, train=train)
@@ -95,12 +91,17 @@ class UNetSCN3D(nn.Module):
         if self._cfg("RETURN_ENCODED_TENSOR", False):
             # detection-only encoded BEV tensor (scn_unet.py:125-136)
             s_out = sp.downsample_structure(s4, (2, 1, 1), capacity=s4.capacity)
+            last_pad = self._cfg("last_pad", 0)
             rb_out = sp.build_strided_rulebook(
-                s4, s_out, (3, 1, 1), (2, 1, 1), self._cfg("last_pad", 0), table=t4
+                s4, s_out, (3, 1, 1), (2, 1, 1), last_pad, table=t4
+            )
+            rb_out_t = sp.build_inverse_rulebook(
+                s_out, s4, (3, 1, 1), (2, 1, 1), last_pad
             )
             enc = blk(128, conv_type="spconv", kernel_size=(3, 1, 1),
-                      stride=(2, 1, 1), padding=self._cfg("last_pad", 0))(
-                x_conv4, rb_out, out_struct=s_out, train=train)
+                      stride=(2, 1, 1), padding=last_pad)(
+                x_conv4, rb_out, out_struct=s_out, rulebook_t=rb_out_t,
+                train=train)
             out["encoded_spconv_tensor"] = enc
             out["encoded_spconv_tensor_stride"] = 8
 
@@ -123,19 +124,20 @@ class UNetSCN3D(nn.Module):
             x_conv4, x_conv4, rb_subm4, 64 * r,
             lambda st, tgt, rb: blk(64 * r, conv_type="inverseconv",
                                     padding=(0, 1, 1))(st, rb, out_struct=tgt,
+                                                       rulebook_t=rb_down4,
                                                        train=train),
             (s3, rb_inv4),
         )
         x_up3 = ur_block(
             x_conv3, x_up4, rb_subm3, 64 * r,
             lambda st, tgt, rb: blk(32 * r, conv_type="inverseconv")(
-                st, rb, out_struct=tgt, train=train),
+                st, rb, out_struct=tgt, rulebook_t=rb_down3, train=train),
             (s2, rb_inv3),
         )
         x_up2 = ur_block(
             x_conv2, x_up3, rb_subm2, 32 * r,
             lambda st, tgt, rb: blk(16 * r, conv_type="inverseconv")(
-                st, rb, out_struct=tgt, train=train),
+                st, rb, out_struct=tgt, rulebook_t=rb_down2, train=train),
             (s1, rb_inv2),
         )
         # final stage: "inverse" is a plain subm block (conv5, scn_unet.py:158-160)

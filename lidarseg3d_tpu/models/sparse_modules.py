@@ -42,13 +42,14 @@ class SparseConv3d(nn.Module):
     padding: Any = 1
 
     @nn.compact
-    def __call__(self, st: sp.SparseTensor, out_struct, rulebook):
+    def __call__(self, st: sp.SparseTensor, out_struct, rulebook,
+                 rulebook_t=None):
         K = _num_taps(self.kernel_size)
         Cin = st.features.shape[-1]
         w = self.param("kernel", conv_kernel_init, (K, Cin, self.features))
         out = sp.strided_conv(
             st, out_struct, w, self.kernel_size, self.stride, self.padding,
-            rulebook=rulebook,
+            rulebook=rulebook, rulebook_t=rulebook_t,
         )
         return sp.SparseTensor(structure=out_struct, features=out)
 
@@ -60,13 +61,14 @@ class SparseInverseConv3d(nn.Module):
     padding: Any = 1
 
     @nn.compact
-    def __call__(self, st_low: sp.SparseTensor, target_struct, rulebook):
+    def __call__(self, st_low: sp.SparseTensor, target_struct, rulebook,
+                 rulebook_t=None):
         K = _num_taps(self.kernel_size)
         Cin = st_low.features.shape[-1]
         w = self.param("kernel", conv_kernel_init, (K, Cin, self.features))
         out = sp.inverse_conv(
             st_low, target_struct, w, self.kernel_size, self.stride, self.padding,
-            rulebook=rulebook,
+            rulebook=rulebook, rulebook_t=rulebook_t,
         )
         return sp.SparseTensor(structure=target_struct, features=out)
 
@@ -83,17 +85,18 @@ class SparseConvBNReLU(nn.Module):
     bn_momentum: float = 0.01
 
     @nn.compact
-    def __call__(self, st, rulebook, out_struct=None, train: bool = True):
+    def __call__(self, st, rulebook, out_struct=None, rulebook_t=None,
+                 train: bool = True):
         if self.conv_type == "subm":
             out = SubMConv3d(self.features, self.kernel_size)(st, rulebook)
         elif self.conv_type == "spconv":
             out = SparseConv3d(
                 self.features, self.kernel_size, self.stride, self.padding
-            )(st, out_struct, rulebook)
+            )(st, out_struct, rulebook, rulebook_t)
         elif self.conv_type == "inverseconv":
             out = SparseInverseConv3d(
                 self.features, self.kernel_size, self.stride, self.padding
-            )(st, out_struct, rulebook)
+            )(st, out_struct, rulebook, rulebook_t)
         else:
             raise ValueError(self.conv_type)
         bn = MaskedBatchNorm(eps=self.bn_eps, momentum=self.bn_momentum)

@@ -15,6 +15,7 @@ prefix of length num_voxels[b].
 import numpy as np
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 INVALID_KEY = np.int32(2**31 - 1)  # sorts to the end; never a valid key
 INVALID_QUERY = np.int32(-1)  # below every valid key; never matches
@@ -106,6 +107,138 @@ def lookup_dense(table, qkeys):
     idx = jnp.take(flat, gq.reshape(-1), axis=0).reshape(qkeys.shape)
     found = (qkeys >= 0) & (idx >= 0)
     return idx, found
+
+
+class HashMap(struct.PyTreeNode):
+    """Open-addressing (linear probing) voxel hash map.
+
+    Replaces the direct-address dense table for rulebook builds: memory is
+    O(slots) per sample (e.g. 2 MB at 2^19 slots) instead of
+    prod(spatial_shape)*4 B (371 MB on the SemanticKITTI grid), which frees
+    HBM for batched training and keeps lookups cache-friendly. This is the
+    TPU equivalent of spconv's GPU hash rulebook builder.
+    """
+
+    hkeys: jnp.ndarray  # [B, S] int32 linear keys; INVALID_KEY = empty
+    hvals: jnp.ndarray  # [B, S] int32 row indices
+
+    @property
+    def slots(self):
+        return self.hkeys.shape[-1]
+
+
+def _fib_hash(keys, slots):
+    """Fibonacci multiplicative hash onto [0, slots) (slots power of 2)."""
+    h = (keys.astype(jnp.uint32) * np.uint32(2654435761)) >> np.uint32(
+        32 - int(np.log2(slots))
+    )
+    return h.astype(jnp.int32)
+
+
+def default_slots(capacity):
+    """Power-of-two slot count at load factor <= 1/16.
+
+    Lookup cost on TPU is (max probe-chain length) rounds of full-query
+    element gathers (~2.1 ns/element each), so short chains matter far more
+    than table bytes: 16x slots is ~8 MB at SemanticKITTI capacity and keeps
+    worst-case chains to a handful of rounds."""
+    return max(1024, 1 << int(np.ceil(np.log2(max(16 * capacity, 2)))))
+
+
+def build_hash_map(coords, num_voxels, spatial_shape, slots=None):
+    """Insert all valid voxel keys; returns a HashMap.
+
+    Insertion is round-synchronous linear probing: each round, unplaced keys
+    scatter into their probe slot if it was empty at round start (occupied
+    slots are never re-targeted, so placements are final); winners are
+    detected by gather-back, losers advance their probe. Terminates because
+    every round places at least one contender.
+    """
+    B, V, _ = coords.shape
+    if slots is None:
+        slots = default_slots(V)
+    valid = jnp.arange(V, dtype=jnp.int32)[None, :] < num_voxels[:, None]
+    keys = make_table_keys(coords, valid, spatial_shape)  # INVALID_KEY pads
+    h0 = _fib_hash(keys, slots)
+    rows = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32)[None, :], (B, V))
+    mask = slots - 1
+
+    def one(keys, h0, rows, valid):
+        hkeys = jnp.full((slots,), INVALID_KEY, jnp.int32)
+        hvals = jnp.full((slots,), -1, jnp.int32)
+        placed = ~valid
+        probe = jnp.zeros((V,), jnp.int32)
+
+        def cond(st):
+            return ~jnp.all(st[2])
+
+        def body(st):
+            hkeys, hvals, placed, probe = st
+            c = (h0 + probe) & mask
+            empty = hkeys[c] == INVALID_KEY
+            tgt = jnp.where((~placed) & empty, c, slots)
+            hkeys2 = hkeys.at[tgt].set(keys, mode="drop")
+            won = (~placed) & (hkeys2[c] == keys)
+            hvals2 = hvals.at[jnp.where(won, c, slots)].set(rows, mode="drop")
+            placed2 = placed | won
+            return hkeys2, hvals2, placed2, probe + 1 - won.astype(jnp.int32)
+
+        hkeys, hvals, _, _ = jax.lax.while_loop(
+            cond, body, (hkeys, hvals, placed, probe)
+        )
+        return hkeys, hvals
+
+    hkeys, hvals = jax.vmap(one)(keys, h0, rows, valid)
+    return HashMap(hkeys=hkeys, hvals=hvals)
+
+
+def lookup_hash(table: HashMap, qkeys):
+    """Batched hash lookup, same contract as lookup_dense.
+
+    qkeys: [B, Q] int32 (INVALID_QUERY = -1 for no-op queries).
+    Returns (idx [B, Q] int32 with misses undefined, found [B, Q] bool).
+    All queries probe in lockstep rounds until each hits its key or an
+    empty slot (linear probing invariant: a key's probe chain has no gaps).
+    """
+    slots = table.slots
+    mask = slots - 1
+    h0 = _fib_hash(qkeys, slots)
+
+    def one(hkeys, hvals, qkeys, h0):
+        Q = qkeys.shape[0]
+        resolved = qkeys == INVALID_QUERY
+        slot = jnp.zeros((Q,), jnp.int32)  # hit slot (value gathered ONCE
+        # after the loop - halves the per-round gather traffic)
+        hit_any = jnp.zeros((Q,), bool)
+        probe = jnp.zeros((Q,), jnp.int32)
+
+        def cond(st):
+            return ~jnp.all(st[1])
+
+        def body(st):
+            slot, resolved, hit_any, probe = st
+            c = (h0 + probe) & mask
+            k = hkeys[c]
+            hit = (~resolved) & (k == qkeys)
+            done = hit | (k == INVALID_KEY)
+            slot = jnp.where(hit, c, slot)
+            return slot, resolved | done, hit_any | hit, probe + 1
+
+        slot, _, hit_any, _ = jax.lax.while_loop(
+            cond, body, (slot, resolved, hit_any, probe)
+        )
+        return jnp.where(hit_any, hvals[slot], -1)
+
+    idx = jax.vmap(one)(table.hkeys, table.hvals, qkeys, h0)
+    found = (qkeys >= 0) & (idx >= 0)
+    return idx, found
+
+
+def lookup_any(table, qkeys):
+    """Dispatch on table kind: HashMap or dense direct-address array."""
+    if isinstance(table, HashMap):
+        return lookup_hash(table, qkeys)
+    return lookup_dense(table, qkeys)
 
 
 def build_hash_table(coords, num_voxels, spatial_shape):

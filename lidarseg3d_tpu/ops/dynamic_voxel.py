@@ -32,7 +32,7 @@ def assign_points_to_voxels(point_coords, point_valid, spatial_shape, capacity):
     qkeys = coord_ops.make_query_keys(
         point_coords, spatial_shape, extra_valid=point_valid
     )
-    p2v, found = coord_ops.lookup_dense(table, qkeys)
+    p2v, found = coord_ops.lookup_any(table, qkeys)
     return struct, p2v, found
 
 

@@ -63,7 +63,7 @@ def grid_three_interpolate(
         qkeys = coord_ops.make_query_keys(
             q, struct.spatial_shape, extra_valid=point_valid
         )
-        idx, found = coord_ops.lookup_dense(table, qkeys)
+        idx, found = coord_ops.lookup_any(table, qkeys)
         gidx = sp.flatten_indices(idx, found, V)  # [B, N]
         cand = jnp.take(centers_flat, gidx.reshape(-1), axis=0).reshape(B, N, 3)
         d2 = jnp.sum((points_xyz - cand) ** 2, axis=-1)

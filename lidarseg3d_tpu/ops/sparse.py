@@ -27,6 +27,37 @@ import numpy as np
 from flax import struct
 
 from . import coords as coord_ops
+from . import sparse_pallas as spk
+
+# Fused Pallas kernel policy for the conv entry points below:
+#   "auto"  - bf16 fused kernel on TPU, XLA gather path elsewhere (default)
+#   "off"   - always the XLA gather path
+#   "bf16"  - force the fused kernel (bf16 gathers, fp32 accumulation)
+#   "fp32"  - force the fused kernel at Precision.HIGHEST
+#   "fp32i" - fp32 fused kernel through the Pallas interpreter (CPU tests)
+PALLAS_MODE = "auto"
+
+
+def set_pallas_mode(mode):
+    global PALLAS_MODE
+    assert mode in ("auto", "off", "bf16", "fp32", "fp32i")
+    PALLAS_MODE = mode
+
+
+def _pallas_mode():
+    if PALLAS_MODE == "auto":
+        return "bf16" if jax.default_backend() == "tpu" else None
+    if PALLAS_MODE == "off":
+        return None
+    return PALLAS_MODE
+
+
+def _fused_conv(features, weights, rulebook, rulebook_t, mode):
+    interpret = mode == "fp32i"
+    return spk.fused_conv(
+        features, weights, rulebook, rulebook_t,
+        mode="fp32" if interpret else mode, interpret=interpret,
+    )
 
 
 def _triple(v):
@@ -90,10 +121,43 @@ def build_structure(coords, num_voxels, spatial_shape):
     )
 
 
+# Coordinate lookup-table kind for rulebook builds:
+#   "auto"  - direct-address table when B * prod(grid) * 4 B fits the budget
+#             below, open-addressing hash map otherwise (default)
+#   "dense" - always the direct-address table (one-gather lookups, measured
+#             7.4 ms per 27V queries at SemanticKITTI scale, but
+#             prod(grid)*4 B = 371 MB per sample on that grid)
+#   "hash"  - always the hash map (O(16*capacity) slots ~ 8 MB; lookups cost
+#             max-probe-length rounds of full-query gathers, measured ~60 ms
+#             per 27V queries - the HBM-for-time fallback that unblocks
+#             batched training and huge grids)
+TABLE_KIND = "auto"
+DENSE_TABLE_BUDGET_BYTES = 1 << 31  # 2 GB across the batch
+
+
+def set_table_kind(kind):
+    global TABLE_KIND
+    assert kind in ("auto", "hash", "dense")
+    TABLE_KIND = kind
+
+
 def dense_table(s: SparseStructure):
-    """Direct-address lookup table for structure ``s`` (transient; build once
-    per structure per forward and share across rulebooks)."""
+    """Lookup table for structure ``s`` (transient; build once per structure
+    per forward and share across rulebooks). Despite the legacy name this
+    returns the table kind selected by TABLE_KIND."""
+    kind = TABLE_KIND
+    if kind == "auto":
+        ncells = int(np.prod([int(d) for d in s.spatial_shape]))
+        dense_bytes = s.batch_size * ncells * 4
+        kind = "dense" if dense_bytes <= DENSE_TABLE_BUDGET_BYTES else "hash"
+    if kind == "hash":
+        return coord_ops.build_hash_map(
+            s.coords, s.num_voxels, s.spatial_shape
+        )
     return coord_ops.build_dense_table(s.coords, s.num_voxels, s.spatial_shape)
+
+
+lookup_table = dense_table
 
 
 def make_offsets(kernel_size):
@@ -160,13 +224,10 @@ def _gather_gemm_core(feat_flat_ext, gidx, weights, out_dtype=jnp.float32):
 _gather_gemm_remat = jax.checkpoint(_gather_gemm_core, static_argnums=(3,))
 
 
-def gather_gemm(feat_flat_ext, gidx, weights, group=9, out_shape=None,
-                out_dtype=jnp.float32):
+def gather_gemm(feat_flat_ext, gidx, weights, out_dtype=jnp.float32):
     if isinstance(gidx, (list, tuple)):
         gidx = jnp.stack(list(gidx))
     return _gather_gemm_remat(feat_flat_ext, gidx, weights, out_dtype)
-
-
 
 
 
@@ -190,124 +251,29 @@ def build_subm_rulebook(s: SparseStructure, kernel_size=3, table=None):
     def one(delta):
         q = s.coords + delta[None, None, :]
         qkeys = coord_ops.make_query_keys(q, s.spatial_shape, extra_valid=valid)
-        idx, found = coord_ops.lookup_dense(table, qkeys)
+        idx, found = coord_ops.lookup_any(table, qkeys)
         return flatten_indices(idx, found, V)
 
     return jax.vmap(one)(deltas)  # [K, B, V]
 
 
-def build_subm_window_rulebook(s: SparseStructure, table=None):
-    """Windowed rulebook for a 3x3x3 submanifold conv on KEY-SORTED tables.
-
-    Because rows are sorted by the (z, y, x) linear key, the three x-taps of
-    any (dz, dy) group occupy at most 3 CONSECUTIVE table rows. One gather of
-    a packed 3-row window per (dz, dy) replaces three row gathers — 3x fewer
-    512-byte row reads at C <= 42 (per-row gather cost is width-independent
-    up to 128 lanes; see verify SKILL.md).
-
-    Returns dict(w_gidx [9, B, V] window-start flat indices (miss -> B*V),
-                 slots [9, 3, B, V] int32 in {0,1,2}, 3 = tap missing).
-    REQUIRES s.coords sorted by linear key per sample (host voxelizer
-    sort_by_key / downsample_structure output).
-    """
-    V = s.capacity
-    B = s.batch_size
-    if table is None:
-        table = dense_table(s)
-    valid = s.valid_mask()
-    groups = list(itertools.product((0, 1, 2), (0, 1, 2)))  # (dz, dy) taps
-
-    def one_group(dzdy):
-        dz, dy = dzdy[0] - 1, dzdy[1] - 1
-        idxs, founds = [], []
-        for dx in (-1, 0, 1):
-            q = s.coords + jnp.stack([dz, dy, dx])[None, None, :]
-            qk = coord_ops.make_query_keys(q, s.spatial_shape, extra_valid=valid)
-            idx, found = coord_ops.lookup_dense(table, qk)
-            idxs.append(idx)
-            founds.append(found)
-        BIG = jnp.int32(2 ** 30)
-        cand = [jnp.where(f, i, BIG) for i, f in zip(idxs, founds)]
-        w = jnp.minimum(jnp.minimum(cand[0], cand[1]), cand[2])  # [B, V]
-        any_found = founds[0] | founds[1] | founds[2]
-        offs = (jnp.arange(B, dtype=jnp.int32) * V)[:, None]
-        w_g = jnp.where(any_found, w + offs, B * V).astype(jnp.int32)
-        slots = jnp.stack([
-            jnp.where(f, i - w, 3).astype(jnp.int32)
-            for i, f in zip(idxs, founds)
-        ])  # [3, B, V]
-        return w_g, slots
-
-    dzdy = jnp.asarray(groups, jnp.int32)
-    w_gidx, slots = jax.vmap(one_group)(dzdy)
-    return {"w_gidx": w_gidx, "slots": slots}
-
-
-def _packed_windows(features):
-    """[B, V, C] -> [B*V + 1, 3C]: row r = rows r, r+1, r+2 of the flat
-    features (zero-padded past the end; row B*V is all-zero for misses)."""
-    B, V, C = features.shape
-    flat = features.reshape(B * V, C)
-    base = jnp.concatenate([flat, jnp.zeros((3, C), flat.dtype)], axis=0)
-    n = B * V + 1
-    return jnp.concatenate(
-        [base[:n], base[1 : n + 1], base[2 : n + 2]], axis=1
-    )
-
-
-def _window_gather_gemm_core(features, wrb, weights, out_dtype=jnp.float32):
-    """Windowed submanifold conv: 9 packed-window gathers + tap alignment.
-
-    features: [B, V, Cin]; wrb: from build_subm_window_rulebook;
-    weights: [27, Cin, Cout] in (z, y, x) raster tap order.
-    """
-    B, V, Cin = features.shape
-    K, _, Cout = weights.shape
-    assert K == 27
-    pk = _packed_windows(features)  # [B*V + 1, 3Cin]
-    w27 = weights.reshape(9, 3, Cin, Cout)
-
-    def body(acc, g):
-        w_g, slots_g, wg = g  # [B,V], [3,B,V], [3,Cin,Cout]
-        win = jnp.take(pk, w_g.reshape(-1), axis=0)  # [BV, 3Cin]
-        win3 = win.reshape(B * V, 3, Cin)
-        # T[n, t, s] = 1 iff tap t of row n sits at window slot s
-        sl = slots_g.reshape(3, B * V)  # [3, BV]
-        T = (sl[:, :, None] == jnp.arange(3)[None, None, :]).astype(
-            win3.dtype
-        )  # [3, BV, 3]
-        taps = jnp.einsum("tns,nsc->ntc", T, win3)  # [BV, 3, Cin]
-        part = jnp.einsum(
-            "ntc,tco->no", taps, wg, preferred_element_type=out_dtype
-        )
-        return acc + part, None
-
-    acc0 = jnp.zeros((B * V, Cout), out_dtype)
-    acc, _ = jax.lax.scan(body, acc0, (wrb["w_gidx"], wrb["slots"], w27))
-    return acc.reshape(B, V, Cout).astype(features.dtype)
-
-
-_window_gather_gemm_remat = jax.checkpoint(
-    _window_gather_gemm_core, static_argnums=(3,)
-)
-
-
-def window_gather_gemm(features, wrb, weights, out_dtype=jnp.float32):
-    return _window_gather_gemm_remat(features, wrb, weights, out_dtype)
-
-
-def subm_conv(st: SparseTensor, weights, kernel_size=3, group=9, rulebook=None):
+def subm_conv(st: SparseTensor, weights, kernel_size=3, rulebook=None):
     """Submanifold sparse conv: output sites == input sites.
 
     weights: [K, Cin, Cout] with K = prod(kernel_size), taps in raster order.
-    rulebook: a [K, B, V] gather rulebook OR a windowed rulebook dict
-    (build_subm_window_rulebook). Returns features [B, V, Cout].
+    rulebook: a [K, B, V] gather rulebook (build_subm_rulebook).
+    Returns features [B, V, Cout].
+
+    On TPU this runs the fused Pallas gather->GEMM kernel (the backward's
+    transposed rulebook is the mirror-tap rulebook, derived internally).
     """
     if rulebook is None:
         rulebook = build_subm_rulebook(st.structure, kernel_size)
-    if isinstance(rulebook, dict):
-        return window_gather_gemm(st.features, rulebook, weights)
-    return gather_gemm(_flat_features(st.features), rulebook, weights, group=group)
+    B, V, _ = st.features.shape
+    mode = _pallas_mode()
+    if mode and spk.supported(B * V, B * V, rulebook.shape[0]):
+        return _fused_conv(st.features, weights, rulebook, None, mode)
+    return gather_gemm(_flat_features(st.features), rulebook, weights)
 
 
 def downsample_structure(st_struct: SparseStructure, stride, capacity):
@@ -354,7 +320,7 @@ def build_strided_rulebook(
         # mask them explicitly
         q = base + delta[None, None, :]
         qkeys = coord_ops.make_query_keys(q, s_in.spatial_shape, extra_valid=ovalid)
-        idx, found = coord_ops.lookup_dense(table, qkeys)
+        idx, found = coord_ops.lookup_any(table, qkeys)
         return flatten_indices(idx, found, s_in.capacity)
 
     return jax.vmap(one)(deltas)
@@ -367,15 +333,27 @@ def strided_conv(
     kernel_size=3,
     stride=2,
     padding=1,
-    group=9,
     rulebook=None,
+    rulebook_t=None,
 ):
-    """Strided sparse conv onto a precomputed output structure."""
+    """Strided sparse conv onto a precomputed output structure.
+
+    rulebook_t: the paired INVERSE rulebook (build_inverse_rulebook with the
+    same kernel/stride/padding) — it is the exact transpose of ``rulebook``
+    at every tap, and enables the fused Pallas kernel's backward pass.
+    Without it the XLA gather path is used.
+    """
     if rulebook is None:
         rulebook = build_strided_rulebook(
             st.structure, out_struct, kernel_size, stride, padding
         )
-    return gather_gemm(_flat_features(st.features), rulebook, weights, group=group)
+    B, V, _ = st.features.shape
+    mode = _pallas_mode()
+    if (mode and rulebook_t is not None
+            and spk.supported(B * V, B * out_struct.capacity,
+                              rulebook.shape[0])):
+        return _fused_conv(st.features, weights, rulebook, rulebook_t, mode)
+    return gather_gemm(_flat_features(st.features), rulebook, weights)
 
 
 def build_inverse_rulebook(
@@ -407,7 +385,7 @@ def build_inverse_rulebook(
         qkeys = coord_ops.make_query_keys(
             q, s_low.spatial_shape, extra_valid=exact & tvalid
         )
-        idx, found = coord_ops.lookup_dense(table, qkeys)
+        idx, found = coord_ops.lookup_any(table, qkeys)
         return flatten_indices(idx, found, s_low.capacity)
 
     return jax.vmap(one)(deltas)
@@ -420,15 +398,26 @@ def inverse_conv(
     kernel_size=3,
     stride=2,
     padding=1,
-    group=9,
     rulebook=None,
+    rulebook_t=None,
 ):
-    """Inverse (transposed) sparse conv back onto a stored high-res structure."""
+    """Inverse (transposed) sparse conv back onto a stored high-res structure.
+
+    rulebook_t: the paired STRIDED rulebook (its transpose at every tap);
+    enables the fused Pallas kernel (see strided_conv).
+    """
     if rulebook is None:
         rulebook = build_inverse_rulebook(
             st_low.structure, target_struct, kernel_size, stride, padding
         )
-    return gather_gemm(_flat_features(st_low.features), rulebook, weights, group=group)
+    B, V, _ = st_low.features.shape
+    mode = _pallas_mode()
+    if (mode and rulebook_t is not None
+            and spk.supported(B * V, B * target_struct.capacity,
+                              rulebook.shape[0])):
+        return _fused_conv(st_low.features, weights, rulebook, rulebook_t,
+                           mode)
+    return gather_gemm(_flat_features(st_low.features), rulebook, weights)
 
 
 def voxel_centers(st_struct: SparseStructure, voxel_size, point_cloud_range):

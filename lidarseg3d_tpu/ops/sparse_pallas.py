@@ -1,0 +1,197 @@
+"""Fused Pallas sparse-conv integration: rulebook adapters + custom VJP.
+
+Bridges the [K, B, V] global-flat rulebooks of ops/sparse.py onto the fused
+gather->GEMM Pallas kernel (ops/pallas_conv.py) and supplies the training
+backward pass. This is the TPU-native equivalent of spconv's fused rulebook
+kernels used by the reference backbone
+(/root/reference/det3d/models/backbones/scn_unet.py:11-30).
+
+Backward structure (see pallas_conv.py docstring): per-tap rulebooks are
+partial permutations, so dL/dx is itself a rulebook conv under the TRANSPOSED
+rulebook:
+
+- submanifold conv: the transposed rulebook of tap k is the rulebook of the
+  mirror tap K-1-k on the same structure (``gidx_t=None``);
+- strided <-> inverse conv: each is the other's transpose at the SAME tap,
+  so callers pass the paired rulebook (``rulebook_t``) that the UNet already
+  builds for the decoder (spconv indice_key reuse, scn_unet.py:90-160).
+
+dL/dW re-gathers the im2col blocks (rulebook_conv_dw); only (x, w) are saved
+as residuals, so the fused path needs no jax.checkpoint: activation memory
+matches the rematerialized XLA path by construction.
+
+VMEM budget: the feature table lives transposed [C, V] and fully VMEM-resident
+in the kernel; convs whose table exceeds TABLE_BUDGET_BYTES are split along
+Cin (the conv is linear in Cin, partial outputs are summed in fp32).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pallas_conv as pc
+
+LANES = pc.LANES
+# table slab per kernel call; alongside im2col scratch + weights this fits
+# the ~16 MB VMEM of a v5e core (measured good at 8.4 MB: C=32, V=131072 bf16)
+TABLE_BUDGET_BYTES = 9 << 20
+MAX_ROWS = pc._MAX_BLOCKS * LANES  # packed 14-bit window-start fields
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def supported(n_in, n_out, n_taps):
+    """Shape limits of the packed kernel metadata fields."""
+    return (
+        _round_up(n_in, LANES) <= MAX_ROWS
+        and _round_up(n_out, LANES) <= MAX_ROWS
+        and n_taps <= 32
+    )
+
+
+def kernel_rulebook(gidx, n_in):
+    """[K, B, Vout] global-flat rulebook (miss = n_in) -> kernel format.
+
+    Returns [K, BVout_pad] int32 with misses = pc.MISS and the output axis
+    padded to a multiple of 128 lanes.
+    """
+    K, B, Vout = gidx.shape
+    g = gidx.reshape(K, B * Vout)
+    g = jnp.where(g == n_in, pc.MISS, g)
+    pad = _round_up(B * Vout, LANES) - B * Vout
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad)), constant_values=int(pc.MISS))
+    return g.astype(jnp.int32)
+
+
+def _chunk_sizes(cin, np_rows, itemsize, pair):
+    """Split Cin so each chunk's [cc, Np] table fits the VMEM budget."""
+    max_c = max(2 if pair else 1, TABLE_BUDGET_BYTES // (np_rows * itemsize))
+    if pair:
+        max_c -= max_c % 2
+    nchunk = -(-cin // max_c)
+    csize = -(-cin // nchunk)
+    if pair and csize % 2:
+        csize += 1
+    return [(c0, min(c0 + csize, cin)) for c0 in range(0, cin, csize)]
+
+
+def _conv_many(table_rows, gidx_k, weights, dtype, interpret, meta=None):
+    """Chunked fused conv: sum_k take(table, gidx[k]) @ weights[k].
+
+    table_rows: [N, Cin] (row-major features); gidx_k: [K, Mpad] kernel-format
+    rulebook into rows [0, N); weights: [K, Cin, Cout].
+    Returns ([Mpad, Cout] fp32, meta) — meta is reusable for the dW kernel.
+    """
+    N, Cin = table_rows.shape
+    K, _, Cout = weights.shape
+    bf16 = dtype == jnp.bfloat16
+    if bf16 and Cin % 2:
+        table_rows = jnp.pad(table_rows, ((0, 0), (0, 1)))
+        weights = jnp.pad(weights, ((0, 0), (0, 1), (0, 0)))
+        Cin += 1
+    Np = _round_up(N, LANES)
+    table_t = jnp.pad(table_rows, ((0, Np - N), (0, 0))).T.astype(dtype)
+    if meta is None:
+        meta = pc.build_kernel_meta(gidx_k, Np)
+    out = None
+    for c0, c1 in _chunk_sizes(Cin, Np, jnp.dtype(dtype).itemsize, bf16):
+        wmat = (
+            jnp.transpose(weights[:, c0:c1, :], (2, 0, 1))
+            .reshape(Cout, -1)
+            .astype(dtype)
+        )
+        o = pc.rulebook_conv_block(
+            table_t[c0:c1], gidx_k, wmat, cout=Cout, meta=meta,
+            interpret=interpret,
+        ).astype(jnp.float32)
+        out = o if out is None else out + o
+    return out.T, meta  # [Mpad, Cout] fp32
+
+
+def _dw_many(table_rows, gidx_k, gout_rows, dtype, interpret, meta, cin):
+    """Chunked dW: [K, Cin, Cout] fp32. gout_rows: [Mpad, Cout]."""
+    N, Cin = table_rows.shape
+    K = gidx_k.shape[0]
+    bf16 = dtype == jnp.bfloat16
+    padded_c = False
+    if bf16 and Cin % 2:
+        table_rows = jnp.pad(table_rows, ((0, 0), (0, 1)))
+        Cin += 1
+        padded_c = True
+    Np = _round_up(N, LANES)
+    table_t = jnp.pad(table_rows, ((0, Np - N), (0, 0))).T.astype(dtype)
+    gout = gout_rows.astype(dtype)
+    parts = []
+    for c0, c1 in _chunk_sizes(Cin, Np, jnp.dtype(dtype).itemsize, bf16):
+        dw = pc.rulebook_conv_dw(
+            table_t[c0:c1], gidx_k, gout, meta=meta, interpret=interpret
+        )  # [K*(c1-c0), Cout] fp32
+        parts.append(dw.reshape(K, c1 - c0, -1))
+    dw = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    if padded_c:
+        dw = dw[:, :cin, :]
+    return dw
+
+
+def fused_conv(features, weights, gidx, gidx_t=None, *, mode="bf16",
+               interpret=False):
+    """Sparse rulebook conv on the fused Pallas kernel, with custom VJP.
+
+    features: [B, Vin, Cin]; weights: [K, Cin, Cout];
+    gidx: [K, B, Vout] global-flat rulebook (miss = B*Vin);
+    gidx_t: the transposed rulebook [K, B, Vin] (miss = B*Vout), or None for
+            submanifold convs (mirror-tap rule; requires Vout == Vin).
+    mode: "bf16" (production: bf16 gathers/GEMMs, fp32 accumulation) or
+          "fp32" (Precision.HIGHEST, used by oracle tests).
+    Returns [B, Vout, Cout] in features.dtype.
+    """
+    B, Vin, Cin = features.shape
+    K, _, Cout = weights.shape
+    Vout = gidx.shape[2]
+    n_in, n_out = B * Vin, B * Vout
+    dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
+    subm = gidx_t is None
+    if subm:
+        assert Vin == Vout, "subm mirror-tap transpose needs Vin == Vout"
+
+    g_f = kernel_rulebook(gidx, n_in)
+    g_b = (jnp.flip(g_f, axis=0) if subm
+           else kernel_rulebook(gidx_t, n_out))
+
+    @jax.custom_vjp
+    def conv(x, w, gf, gb):
+        out, _ = _conv_many(x.reshape(n_in, Cin), gf, w, dtype, interpret)
+        return out[:n_out].reshape(B, Vout, Cout).astype(x.dtype)
+
+    def conv_fwd(x, w, gf, gb):
+        out, meta = _conv_many(x.reshape(n_in, Cin), gf, w, dtype, interpret)
+        return (
+            out[:n_out].reshape(B, Vout, Cout).astype(x.dtype),
+            (x, w, gf, gb, meta),
+        )
+
+    def conv_bwd(res, g):
+        x, w, gf, gb, meta = res
+        # dX: conv of the output cotangent under the transposed rulebook.
+        # gb[t] is already the transpose of tap t (mirror tap for subm, the
+        # paired rulebook otherwise), so the weight for backward tap t is
+        # W[t]^T in BOTH cases — the flip lives in the rulebook alone.
+        wb = jnp.transpose(w, (0, 2, 1))  # [K, Cout, Cin]
+        g_rows = g.reshape(n_out, Cout)
+        dx, _ = _conv_many(g_rows, gb, wb, dtype, interpret)
+        dx = dx[:n_in].reshape(B, Vin, Cin).astype(x.dtype)
+        # dW: re-gather the im2col blocks and contract with the cotangent.
+        Mp = _round_up(n_out, LANES)
+        g_pad = jnp.pad(g_rows, ((0, Mp - n_out), (0, 0)))
+        dw = _dw_many(x.reshape(n_in, Cin), gf, g_pad, dtype, interpret,
+                      meta, Cin)
+        z = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        return dx, dw.astype(w.dtype), z(gf), z(gb)
+
+    conv.defvjp(conv_fwd, conv_bwd)
+    return conv(features, weights, g_f, g_b)

@@ -1,0 +1,149 @@
+"""Real multi-PROCESS integration test (VERDICT round-1 item 3).
+
+Launches two OS processes that jax.distributed.initialize against each
+other on CPU (2 virtual devices per process -> a 4-device global mesh),
+train a tiny SegNet in lockstep for 3 steps, run the device-histogram eval
+reduction, and save a process-0-guarded checkpoint. Asserts both processes
+see identical losses (lockstep SPMD), one finite mIoU, and exactly one
+checkpoint write. Reference equivalent: torch.distributed init_process_group
++ DDP + rank-0 save (det3d/torchie/apis/env.py:13-48, trainer.py:346-360).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys, json
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.environ["REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from lidarseg3d_tpu.parallel.dist import init_distributed, is_main_process
+pid = int(os.environ["PROC_ID"])
+init_distributed(os.environ["COORD"], 2, pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+
+import numpy as np
+import jax.numpy as jnp
+from __graft_entry__ import _model_cfg, _synthetic_batch, _grid_shape
+from lidarseg3d_tpu.models import build_detector
+from lidarseg3d_tpu.parallel import mesh as mesh_lib
+from lidarseg3d_tpu.apis.train import (
+    create_train_state, example_to_device, make_train_step, save_checkpoint,
+)
+from lidarseg3d_tpu.apis.eval import make_eval_step
+from lidarseg3d_tpu.core.seg_metrics import confusion_hist_jax, per_class_iou
+from lidarseg3d_tpu.solver.optim import build_one_cycle_optimizer
+
+mesh = mesh_lib.make_mesh()
+V, N = 1024, 1024
+model = build_detector(_model_cfg(ratio=1))
+# per-host local batch: 2 rows (one per local device); different data per host
+batch = _synthetic_batch(2, V, N, seed=100 + pid, with_labels=True)
+ishape = _grid_shape()
+tx, _ = build_one_cycle_optimizer(
+    dict(type="adam", wd=0.01, fixed_wd=True),
+    dict(lr_max=1e-3, moms=[0.95, 0.85]), total_steps=10,
+)
+dev_batch = example_to_device(batch, mesh)
+gb = next(iter(dev_batch.values()))
+assert gb.shape[0] == 4, gb.shape  # global batch = 2 hosts x 2 rows
+
+ex0 = dict(dev_batch); ex0["input_shape"] = ishape
+state = create_train_state(model, ex0, jax.random.PRNGKey(0), tx)
+state = mesh_lib.replicate_tree(state, mesh)
+step_fn = jax.jit(make_train_step(model, tx, ishape))
+losses = []
+for i in range(3):
+    state, ldict = step_fn(state, dev_batch)
+    losses.append(float(jax.device_get(ldict["out_ce_loss"])))
+assert all(np.isfinite(l) for l in losses), losses
+
+# device-side eval-hist reduction across the global batch
+eval_fn = make_eval_step(model, ishape)
+@jax.jit
+def hist_step(state, b):
+    pred = eval_fn(state, b)
+    return confusion_hist_jax(pred["pred_point_sem_labels"],
+                              b["point_sem_labels"], 20,
+                              valid=b["point_valid"] > 0)
+hist = np.asarray(jax.device_get(hist_step(state, dev_batch)))
+total = int(hist.sum())
+miou = float(np.nanmean(per_class_iou(hist[1:, 1:])))
+
+# process-0-guarded checkpoint
+ckdir = os.environ["CKDIR"]
+save_checkpoint(ckdir, state, 1)
+
+print("RESULT " + json.dumps({
+    "pid": pid, "losses": losses, "hist_total": total, "miou": miou,
+    "is_main": is_main_process(),
+}))
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_lockstep_training(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    ckdir = tmp_path / "ckpt"
+    ckdir.mkdir()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            REPO=REPO,
+            COORD=f"localhost:{port}",
+            PROC_ID=str(pid),
+            CKDIR=str(ckdir),
+            JAX_PLATFORMS="cpu",
+        )
+        # a process must NOT inherit a single-process XLA device-count flag
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=560)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    import json
+    results = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
+        results.append(json.loads(line[len("RESULT "):]))
+
+    r0 = next(r for r in results if r["pid"] == 0)
+    r1 = next(r for r in results if r["pid"] == 1)
+    # lockstep SPMD: identical replicated losses on both hosts
+    np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-5)
+    # the device histogram covers the GLOBAL batch (both hosts' points)
+    assert r0["hist_total"] == r1["hist_total"] and r0["hist_total"] > 0
+    assert np.isfinite(r0["miou"])
+    assert r0["is_main"] and not r1["is_main"]
+    # exactly one process wrote the checkpoint; both passed the barrier
+    assert (ckdir / "epoch_1").exists() and (ckdir / "latest.txt").exists()

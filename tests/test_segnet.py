@@ -180,17 +180,3 @@ def test_tiny_token_attention_matches_standard():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
-def test_unet_window_gather_matches_plain(model_and_vars):
-    """Full-backbone outputs identical with and without windowed gathers
-    (voxel rows are key-sorted by the VoxelGenerator default)."""
-    model, variables, ex = model_and_vars
-    ret_w, _ = model.apply(variables, ex, train=False)
-
-    cfgp = model_cfg()
-    cfgp["backbone"]["model_cfg"]["WINDOW_GATHER"] = False
-    model_p = build_detector(cfgp)
-    ret_p, _ = model_p.apply(variables, ex, train=False)
-    np.testing.assert_allclose(
-        np.asarray(ret_w["conv_logits"]), np.asarray(ret_p["conv_logits"]),
-        rtol=1e-4, atol=1e-4,
-    )

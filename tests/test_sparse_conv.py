@@ -1,6 +1,7 @@
 """Sparse conv ops vs. dense-volume numpy oracles on tiny grids."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -51,8 +52,17 @@ def dense_subm_oracle(dense, W, active_mask):
     return out * active_mask[..., None]
 
 
-@pytest.mark.parametrize("group", [1, 9, 27])
-def test_subm_conv_matches_dense(group):
+@pytest.fixture(params=["off", "fp32i"])
+def pallas_mode(request):
+    """Run the conv oracles on both the XLA gather path and the fused
+    Pallas kernel (fp32, interpret mode on CPU)."""
+    prev = sp.PALLAS_MODE
+    sp.set_pallas_mode(request.param)
+    yield request.param
+    sp.set_pallas_mode(prev)
+
+
+def test_subm_conv_matches_dense(pallas_mode):
     rng = np.random.default_rng(0)
     B, Vc, shape, Cin, Cout = 2, 64, (5, 6, 7), 4, 8
     coords, feats, nums, dense = make_random_sparse(rng, B, Vc, shape, Cin)
@@ -62,7 +72,7 @@ def test_subm_conv_matches_dense(group):
         structure=sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape),
         features=jnp.asarray(feats),
     )
-    out = np.asarray(sp.subm_conv(st, jnp.asarray(W), kernel_size=3, group=group))
+    out = np.asarray(sp.subm_conv(st, jnp.asarray(W), kernel_size=3))
 
     active = np.zeros((B,) + shape, bool)
     for b in range(B):
@@ -79,7 +89,7 @@ def test_subm_conv_matches_dense(group):
         np.testing.assert_array_equal(out[b, nums[b]:], 0)
 
 
-def test_strided_conv_matches_dense():
+def test_strided_conv_matches_dense(pallas_mode):
     rng = np.random.default_rng(1)
     B, Vc, shape, Cin, Cout = 2, 96, (6, 8, 8), 3, 5
     coords, feats, nums, dense = make_random_sparse(rng, B, Vc, shape, Cin, 0.3)
@@ -90,8 +100,11 @@ def test_strided_conv_matches_dense():
         features=jnp.asarray(feats),
     )
     out_struct = sp.downsample_structure(st.structure, 2, capacity=Vc)
+    rb = sp.build_strided_rulebook(st.structure, out_struct, 3, 2, 1)
+    rb_t = sp.build_inverse_rulebook(out_struct, st.structure, 3, 2, 1)
     out = np.asarray(
-        sp.strided_conv(st, out_struct, jnp.asarray(W), kernel_size=3, stride=2, padding=1)
+        sp.strided_conv(st, out_struct, jnp.asarray(W), kernel_size=3,
+                        stride=2, padding=1, rulebook=rb, rulebook_t=rb_t)
     )
     oc = np.asarray(out_struct.coords)
     on = np.asarray(out_struct.num_voxels)
@@ -118,7 +131,7 @@ def test_strided_conv_matches_dense():
             np.testing.assert_allclose(out[b, j], expect, rtol=1e-4, atol=1e-4)
 
 
-def test_inverse_conv_matches_oracle():
+def test_inverse_conv_matches_oracle(pallas_mode):
     rng = np.random.default_rng(2)
     B, Vc, shape, C = 1, 80, (6, 6, 6), 4
     coords, feats, nums, dense = make_random_sparse(rng, B, Vc, shape, C, 0.3)
@@ -131,7 +144,10 @@ def test_inverse_conv_matches_oracle():
     lo_feats = sp.strided_conv(st, lo_struct, jnp.asarray(W_down))
     st_lo = sp.SparseTensor(structure=lo_struct, features=lo_feats)
 
-    up = np.asarray(sp.inverse_conv(st_lo, hi_struct, jnp.asarray(W_inv)))
+    rb = sp.build_inverse_rulebook(lo_struct, hi_struct, 3, 2, 1)
+    rb_t = sp.build_strided_rulebook(hi_struct, lo_struct, 3, 2, 1)
+    up = np.asarray(sp.inverse_conv(st_lo, hi_struct, jnp.asarray(W_inv),
+                                    rulebook=rb, rulebook_t=rb_t))
 
     # oracle: dense low-res volume, target t gathers d=(t+1-k)/2 when exact
     lo_shape = lo_struct.spatial_shape
@@ -163,7 +179,7 @@ def test_dense_lookup_roundtrip():
     shape = (9, 11, 13)
     coords, _, nums, _ = make_random_sparse(rng, 2, 50, shape, 1, 0.1)
     s = sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape)
-    table = sp.dense_table(s)
+    table = co.build_dense_table(s.coords, s.num_voxels, shape)
     qkeys = co.make_query_keys(jnp.asarray(coords), shape)
     idx, found = co.lookup_dense(table, qkeys)
     idx, found = np.asarray(idx), np.asarray(found)
@@ -181,7 +197,7 @@ def test_sorted_lookup_matches_dense():
     coords, _, nums, _ = make_random_sparse(rng, 2, 40, shape, 1, 0.15)
     cj, nj = jnp.asarray(coords), jnp.asarray(nums)
     s = sp.build_structure(cj, nj, shape)
-    table = sp.dense_table(s)
+    table = co.build_dense_table(cj, nj, shape)
     # arbitrary queries incl. misses and out-of-bounds
     q = jnp.asarray(rng.integers(-2, 9, size=(2, 100, 3)).astype(np.int32))
     qkeys = co.make_query_keys(q, shape)
@@ -195,29 +211,88 @@ def test_sorted_lookup_matches_dense():
     )
 
 
-@pytest.mark.parametrize("seed", [0, 3])
-def test_window_subm_conv_matches_regular(seed):
-    """Windowed x-tap gather == plain 27-tap gather on key-sorted tables."""
-    rng = np.random.default_rng(seed)
-    B, Vc, shape, Cin, Cout = 2, 128, (5, 7, 9), 6, 4
-    coords = np.full((B, Vc, 3), -1, np.int32)
-    feats = np.zeros((B, Vc, Cin), np.float32)
-    nums = np.zeros((B,), np.int32)
-    for b in range(B):
-        total = shape[0] * shape[1] * shape[2]
-        n = min(Vc, int(total * 0.35))
-        lin = np.sort(rng.choice(total, size=n, replace=False))  # KEY-SORTED
-        z = lin // (shape[1] * shape[2])
-        rem = lin % (shape[1] * shape[2])
-        coords[b, :n] = np.stack([z, rem // shape[2], rem % shape[2]], 1)
-        feats[b, :n] = rng.standard_normal((n, Cin)).astype(np.float32)
-        nums[b] = n
-    st = sp.SparseTensor(
-        structure=sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape),
-        features=jnp.asarray(feats),
+def test_hash_map_matches_dense():
+    """Open-addressing hash map == direct-address table on random queries
+    (hits, misses, out-of-bounds, invalid), including forced collisions."""
+    rng = np.random.default_rng(11)
+    shape = (7, 9, 8)
+    coords, _, nums, _ = make_random_sparse(rng, 2, 40, shape, 1, 0.35)
+    cj, nj = jnp.asarray(coords), jnp.asarray(nums)
+    s = sp.build_structure(cj, nj, shape)
+    dense = co.build_dense_table(cj, nj, shape)
+    # tiny slot count to force probe chains (load factor ~0.6)
+    hmap = co.build_hash_map(cj, nj, shape, slots=64)
+    q = jnp.asarray(rng.integers(-2, 10, size=(2, 200, 3)).astype(np.int32))
+    qkeys = co.make_query_keys(q, shape)
+    d_idx, d_found = co.lookup_dense(dense, qkeys)
+    h_idx, h_found = co.lookup_hash(hmap, qkeys)
+    np.testing.assert_array_equal(np.asarray(d_found), np.asarray(h_found))
+    np.testing.assert_array_equal(
+        np.where(np.asarray(d_found), np.asarray(d_idx), -7),
+        np.where(np.asarray(h_found), np.asarray(h_idx), -7),
     )
-    W = jnp.asarray(rng.standard_normal((27, Cin, Cout)).astype(np.float32))
-    regular = np.asarray(sp.subm_conv(st, W))
-    wrb = sp.build_subm_window_rulebook(st.structure)
-    windowed = np.asarray(sp.subm_conv(st, W, rulebook=wrb))
-    np.testing.assert_allclose(windowed, regular, rtol=1e-4, atol=1e-5)
+
+
+def test_rulebooks_hash_vs_dense():
+    """Full subm/strided/inverse rulebooks identical under both table kinds."""
+    rng = np.random.default_rng(12)
+    shape = (6, 7, 8)
+    coords, _, nums, _ = make_random_sparse(rng, 2, 96, shape, 1, 0.3)
+    s = sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape)
+    out_s = sp.downsample_structure(s, 2, capacity=96)
+    prev = sp.TABLE_KIND
+    try:
+        books = {}
+        for kind in ("dense", "hash"):
+            sp.set_table_kind(kind)
+            books[kind] = [
+                np.asarray(sp.build_subm_rulebook(s, 3)),
+                np.asarray(sp.build_strided_rulebook(s, out_s, 3, 2, 1)),
+                np.asarray(sp.build_inverse_rulebook(out_s, s, 3, 2, 1)),
+            ]
+    finally:
+        sp.set_table_kind(prev)
+    for a, b in zip(books["dense"], books["hash"]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fused_conv_grads_match_xla():
+    """custom_vjp of the fused kernel == autodiff of the XLA gather path
+    (subm mirror-tap transpose AND strided/inverse pairing)."""
+    rng = np.random.default_rng(7)
+    B, Vc, shape, Cin, Cout = 1, 128, (6, 7, 8), 4, 6
+    coords, feats, nums, _ = make_random_sparse(rng, B, Vc, shape, Cin, 0.3)
+    st_struct = sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape)
+    out_struct = sp.downsample_structure(st_struct, 2, capacity=Vc)
+    rb_s = sp.build_subm_rulebook(st_struct, 3)
+    rb_d = sp.build_strided_rulebook(st_struct, out_struct, 3, 2, 1)
+    rb_i = sp.build_inverse_rulebook(out_struct, st_struct, 3, 2, 1)
+    # ~unit-gain weights: with std-1 weights each conv amplifies values (and
+    # fp32 rounding deltas between the two mathematically equal paths) by
+    # sqrt(27*Cin) ~ 10x per layer, which swamps any sane tolerance
+    Ws = jnp.asarray(0.1 * rng.standard_normal((27, Cin, Cout)).astype(np.float32))
+    Wd = jnp.asarray(0.1 * rng.standard_normal((27, Cout, Cout)).astype(np.float32))
+    Wi = jnp.asarray(0.1 * rng.standard_normal((27, Cout, Cin)).astype(np.float32))
+    x = jnp.asarray(feats)
+
+    def net(x, Ws, Wd, Wi):
+        st = sp.SparseTensor(structure=st_struct, features=x)
+        a = sp.subm_conv(st, Ws, rulebook=rb_s)
+        st2 = sp.SparseTensor(structure=st_struct, features=a)
+        b = sp.strided_conv(st2, out_struct, Wd, rulebook=rb_d, rulebook_t=rb_i)
+        st3 = sp.SparseTensor(structure=out_struct, features=b)
+        c = sp.inverse_conv(st3, st_struct, Wi, rulebook=rb_i, rulebook_t=rb_d)
+        return jnp.sum(jnp.sin(c))
+
+    grad = jax.grad(net, argnums=(0, 1, 2, 3))
+    prev = sp.PALLAS_MODE
+    try:
+        sp.set_pallas_mode("off")
+        g_ref = grad(x, Ws, Wd, Wi)
+        sp.set_pallas_mode("fp32i")
+        g_fused = grad(x, Ws, Wd, Wi)
+    finally:
+        sp.set_pallas_mode(prev)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

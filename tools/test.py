@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--device", default=None, choices=["cpu", "tpu", "axon"])
     p.add_argument("--host_device_count", default=None, type=int)
+    p.add_argument("--dist_coordinator", default=None)
+    p.add_argument("--dist_num_processes", default=None, type=int)
+    p.add_argument("--dist_process_id", default=None, type=int)
     return p.parse_args()
 
 
@@ -37,6 +40,9 @@ def main():
 
     from lidarseg3d_tpu.utils.platform import setup_jax
     setup_jax(args.device, host_device_count=args.host_device_count)
+    from lidarseg3d_tpu.parallel.dist import init_distributed
+    init_distributed(args.dist_coordinator, args.dist_num_processes,
+                     args.dist_process_id)
 
     import jax
     from lidarseg3d_tpu.utils.config import Config
@@ -96,9 +102,16 @@ def main():
     # template state for checkpoint restore
     mesh = mesh_lib.make_mesh()
     batch0 = next(loader.epoch(0))
-    ex0 = dict(example_to_device(pad_batch_rows(batch0, mesh.devices.size), mesh))
-    ex0["input_shape"] = input_shape
-    variables = model.init(jax.random.PRNGKey(0), ex0, train=False)
+    ex0 = example_to_device(pad_batch_rows(batch0, mesh.devices.size), mesh)
+
+    def _init(rng, arrs):
+        e = dict(arrs)
+        e["input_shape"] = input_shape
+        return model.init(rng, e, train=False)
+
+    if jax.default_backend() == "tpu":
+        _init = jax.jit(_init)
+    variables = _init(jax.random.PRNGKey(0), ex0)
     # weights-only template (no opt_state): partial restore
     template = {
         "step": jnp.zeros((), jnp.int32), "params": variables["params"],

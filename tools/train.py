@@ -5,8 +5,10 @@ Usage: python tools/train.py CONFIG [--work_dir D] [--resume_from E]
        [--seed N] [--total_epochs N] [--batch_size N]
 
 CLI surface mirrors /root/reference/tools/train.py (config path + work_dir +
-resume + seed); distributed init is implicit via JAX (jax.distributed on
-multihost).
+resume + seed + --autoscale-lr). Multi-host: pass --dist_coordinator
+host:port --dist_num_processes N --dist_process_id I on every host (or set
+JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); training is
+SPMD over the global device set, checkpoints are process-0-guarded.
 """
 
 import argparse
@@ -32,6 +34,14 @@ def parse_args():
                    help="debug: truncate each epoch")
     p.add_argument("--validate", action="store_true",
                    help="run val mIoU after each epoch")
+    p.add_argument("--autoscale-lr", action="store_true",
+                   help="scale lr_max by world device count / 8 "
+                        "(reference tools/train.py --autoscale-lr)")
+    p.add_argument("--dist_coordinator", default=None,
+                   help="host:port of process 0 (multi-host); also read "
+                        "from JAX_COORDINATOR_ADDRESS")
+    p.add_argument("--dist_num_processes", default=None, type=int)
+    p.add_argument("--dist_process_id", default=None, type=int)
     return p.parse_args()
 
 
@@ -40,6 +50,9 @@ def main():
 
     from lidarseg3d_tpu.utils.platform import setup_jax
     setup_jax(args.device, host_device_count=args.host_device_count)
+    from lidarseg3d_tpu.parallel.dist import init_distributed
+    init_distributed(args.dist_coordinator, args.dist_num_processes,
+                     args.dist_process_id)
 
     import jax
     from lidarseg3d_tpu.utils.config import Config
@@ -90,6 +103,14 @@ def main():
 
     total_epochs = args.total_epochs or cfg.total_epochs
     grad_clip = cfg.optimizer_config.get("grad_clip", {}).get("max_norm", 35.0)
+
+    lr_cfg = dict(cfg.lr_config)
+    if args.autoscale_lr:
+        # reference scales lr by ngpus/8 (tools/train.py --autoscale-lr)
+        scale = jax.device_count() / 8.0
+        lr_cfg["lr_max"] = lr_cfg["lr_max"] * scale
+        logger.info(f"autoscale-lr: lr_max *= {scale:.3f} "
+                    f"({jax.device_count()} devices)")
 
     init_hook = None
     img_bb = cfg.model.get("img_backbone") or {}
@@ -142,7 +163,7 @@ def main():
         val_fn=val_fn,
         input_shape=input_shape,
         optimizer_cfg=dict(cfg.optimizer),
-        lr_cfg=dict(cfg.lr_config),
+        lr_cfg=lr_cfg,
         total_epochs=total_epochs,
         work_dir=work_dir,
         logger=logger,
