@@ -118,27 +118,28 @@ def make_eval_step(model, input_shape):
 
 
 def save_checkpoint(work_dir, state, epoch, keep_latest=True):
-    """Process-0-guarded checkpoint write + cross-host barrier (the jax
-    equivalent of the reference's rank-0 save, trainer.py:346-360)."""
+    """Single-writer checkpoint save (the jax equivalent of the reference's
+    rank-0 save, trainer.py:346-360). Every process must CALL save — orbax
+    runs its own cross-host barriers inside — but with host-replicated numpy
+    trees only process 0 writes bytes; latest.txt is process-0-guarded."""
     import orbax.checkpoint as ocp
 
     from ..parallel import dist
 
     path = os.path.abspath(os.path.join(work_dir, f"epoch_{epoch}"))
-    if dist.is_main_process():
-        # params are replicated; process 0 holds a full addressable copy
-        host_state = jax.tree.map(
-            lambda x: np.asarray(x.addressable_shards[0].data)
-            if isinstance(x, jax.Array) else np.asarray(x),
-            state,
-        )
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, host_state, force=True)
-        ckptr.wait_until_finished()
-        if keep_latest:
-            latest = os.path.join(work_dir, "latest.txt")
-            with open(latest, "w") as f:
-                f.write(f"epoch_{epoch}\n")
+    # params are replicated; every process holds a full addressable copy
+    host_state = jax.tree.map(
+        lambda x: np.asarray(x.addressable_shards[0].data)
+        if isinstance(x, jax.Array) else np.asarray(x),
+        state,
+    )
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, host_state, force=True)
+    ckptr.wait_until_finished()
+    if keep_latest and dist.is_main_process():
+        latest = os.path.join(work_dir, "latest.txt")
+        with open(latest, "w") as f:
+            f.write(f"epoch_{epoch}\n")
     dist.barrier(f"ckpt_epoch_{epoch}")
     return path
 

@@ -90,23 +90,31 @@ def create_nuscenes_seg_infos(root, version="v1.0-trainval", nsweeps=1,
                               cam_chans=None, out_dir=None):
     """Build train/val info pkls for SemanticNuscDataset.
 
-    Split assignment follows the official scene splits when the devkit's
-    split lists are unavailable: scenes are split by the canonical
-    train/val scene names embedded in the scene table is NOT possible
-    offline, so we default to all-annotated-samples in one list per split
-    file unless a splits dict {scene_name: 'train'|'val'} is provided via
-    nuscenes.utils.splits (if importable).
+    Split assignment follows the OFFICIAL scene splits (700 train / 150 val
+    for v1.0-trainval), vendored in datasets/nuscenes/splits.py so no devkit
+    is needed (cf. reference semanticnusc_common.py:587 which imports them
+    from nuscenes.utils.splits). Unknown versions fail loudly rather than
+    silently mis-splitting.
     """
     ts = NuScenesTables(root, version)
     cam_chans = cam_chans or []
 
-    try:  # official splits if the devkit is importable
-        from nuscenes.utils import splits as nusc_splits
+    from . import splits as nusc_splits
 
+    if version == "v1.0-trainval":
         train_scenes = set(nusc_splits.train)
         val_scenes = set(nusc_splits.val)
-    except Exception:
-        train_scenes = val_scenes = None
+    elif version == "v1.0-test":
+        train_scenes = set()
+        val_scenes = set(nusc_splits.test)
+    elif version == "v1.0-mini":
+        train_scenes = set(nusc_splits.mini_train)
+        val_scenes = set(nusc_splits.mini_val)
+    else:
+        raise ValueError(
+            f"unknown nuScenes version {version!r}: cannot assign official "
+            "scene splits (expected v1.0-trainval / v1.0-test / v1.0-mini)"
+        )
 
     infos_train, infos_val = [], []
     for scene in ts.all("scene"):
@@ -163,12 +171,11 @@ def create_nuscenes_seg_infos(root, version="v1.0-trainval", nsweeps=1,
                 prev = psd["prev"]
 
             scene_name = scene["name"]
-            if train_scenes is not None and scene_name in val_scenes:
+            if scene_name in val_scenes:
                 infos_val.append(info)
-            elif train_scenes is not None and scene_name not in train_scenes:
-                pass  # not in this version's splits
-            else:
+            elif scene_name in train_scenes:
                 infos_train.append(info)
+            # else: scene not in this version's official splits
             sample_token = sample["next"]
 
     out_dir = out_dir or root

@@ -113,6 +113,18 @@ class SemanticKITTIDataset:
         sem = meta.REMAP_LUT[(raw & 0xFFFF).astype(np.int64)]
         return {"point_sem_labels": sem.astype(np.uint8)}
 
+    def save_instance(self, out_dir, min_points=10):
+        """Panoptic instance library extraction
+        (reference semantickitti.py:315-366, Panoptic-PolarNet prep):
+        writes per-instance point files + instance_path.pkl for
+        SegInstanceAug."""
+        from ..pipelines.instance_aug import save_instance as _save
+
+        thing_list = [c for c, is_thing in meta.THING_CLASS.items()
+                      if is_thing]
+        return _save(self.files, meta.REMAP_LUT, thing_list, out_dir,
+                     min_points=min_points)
+
     def evaluation(self, detections, output_dir=None, testset=False, **kwargs):
         """detections: {token: {"pred_point_sem_labels": np.ndarray [n]}}."""
         if testset:

@@ -31,12 +31,29 @@ def _require_waymo():
         ) from e
 
 
+def _top_range_image_indexing(range_images, ri_index):
+    """(col, row) indices of the TOP lidar's valid range-image cells, in the
+    order convert_range_image_to_point_cloud emits points (numpy port of
+    the reference get_range_image_point_indexing,
+    semanticwaymo_common.py:158-182). Needed to scatter per-point prediction
+    labels back into [64, 2650] range images for the eval server."""
+    import numpy as np
+    from waymo_open_dataset import dataset_pb2
+
+    ri = range_images[dataset_pb2.LaserName.TOP][ri_index]
+    arr = np.array(ri.data, np.float32).reshape(ri.shape.dims)
+    rows, cols = np.where(arr[..., 0] > 0)
+    return np.stack([cols, rows], axis=-1).astype(np.int32)
+
+
 def decode_frame(frame):
     """One Frame proto -> our pkl frame dict (see dataset.py docstring).
 
     Point order: for each return index (ri1 then ri2), lidars in
     frame.lasers order with TOP first — the seg-label order the eval
-    truncation relies on.
+    truncation relies on. top_slices + top_ri_indexing let the submission
+    writer rebuild the official label range images without re-reading
+    tfrecords.
     """
     import numpy as np
     from waymo_open_dataset.utils import frame_utils
@@ -46,11 +63,15 @@ def decode_frame(frame):
 
     points_all, cp_all, labels_all = [], [], []
     num_seg_points = 0
+    top_counts = []  # TOP-lidar point count per return
+    ri_starts = []  # offset of each return's first point in the flat order
     for ri_index in (0, 1):
+        ri_starts.append(sum(len(p) for p in points_all))
         points, cps = frame_utils.convert_range_image_to_point_cloud(
             frame, range_images, camera_projections, range_image_top_pose,
             ri_index=ri_index, keep_polar_features=True,
         )
+        top_counts.append(len(points[0]))  # lasers order puts TOP first
         if seg_labels:
             point_labels = frame_utils.convert_range_image_to_point_cloud_labels(
                 frame, range_images, seg_labels, ri_index=ri_index
@@ -83,6 +104,20 @@ def decode_frame(frame):
             "points_xyz": points[:, :3],
             "points_feature": points[:, 3:5],
             "points_cp": cp,
+            "num_points_of_top_lidar": {
+                "ri_return1": int(top_counts[0]),
+                "ri_return2": int(top_counts[1]),
+            },
+            # flat-point slices of the TOP lidar per return: [start, count]
+            "top_slices": {
+                "ri1": [int(ri_starts[0]), int(top_counts[0])],
+                "ri2": [int(ri_starts[1]), int(top_counts[1])],
+            },
+            # (col, row) range-image cells of those points, same order
+            "top_ri_indexing": {
+                "ri1": _top_range_image_indexing(range_images, 0),
+                "ri2": _top_range_image_indexing(range_images, 1),
+            },
         },
         "annotations": {
             "point_sem_labels": labels,
@@ -91,15 +126,38 @@ def decode_frame(frame):
     }
 
 
+def export_frame_images(frame, token, image_dir):
+    """Write each camera's JPEG (already encoded in the proto) to disk and
+    return cam_paths {cam_id(str): path} + image sizes. Reference decodes
+    and re-encodes (semanticwaymo_decoder.py:45-231); the proto bytes are
+    the same JPEGs, so we write them directly."""
+    os.makedirs(image_dir, exist_ok=True)
+    cam_paths, cam_sizes = {}, {}
+    for img in frame.images:
+        cam_id = str(int(img.name))  # 1..5 (FRONT..SIDE_RIGHT)
+        path = osp.join(image_dir, f"{token}_cam{cam_id}.jpg")
+        with open(path, "wb") as f:
+            f.write(img.image)
+        cam_paths[cam_id] = path
+    for calib in frame.context.camera_calibrations:
+        cam_sizes[str(int(calib.name))] = (int(calib.width),
+                                           int(calib.height))
+    return cam_paths, cam_sizes
+
+
 def create_semanticwaymo_infos(root, out_dir=None, nsweeps=1, split="training",
-                               seg_only=True):
-    """Convert <root>/<split>/*.tfrecord into per-frame pkls + an info pkl."""
+                               seg_only=True, export_images=True):
+    """Convert <root>/<split>/*.tfrecord into per-frame pkls + an info pkl.
+
+    export_images writes each camera JPEG next to the frames so the MSeg3D
+    multimodal configs (cam_names 1..5) can train."""
     _require_waymo()
     import tensorflow as tf
     from waymo_open_dataset import dataset_pb2
 
     out_dir = out_dir or root
     frame_dir = osp.join(out_dir, f"{split}_frames")
+    image_dir = osp.join(out_dir, f"{split}_images")
     os.makedirs(frame_dir, exist_ok=True)
     infos = []
     records = sorted(
@@ -117,8 +175,14 @@ def create_semanticwaymo_infos(root, out_dir=None, nsweeps=1, split="training",
             if seg_only and split == "training" and not has_seg:
                 continue  # only annotated frames carry seg labels
             obj = decode_frame(frame)
-            obj["cam_paths"] = {}  # images are exported separately if needed
             token = f"{frame.context.name}_{frame.timestamp_micros}"
+            if export_images:
+                cam_paths, cam_sizes = export_frame_images(
+                    frame, token, image_dir)
+                obj["cam_paths"] = cam_paths
+                obj["cam_sizes"] = cam_sizes
+            else:
+                obj["cam_paths"] = {}
             path = osp.join(frame_dir, f"{token}.pkl")
             obj["token"] = token
             with open(path, "wb") as f:

@@ -15,6 +15,11 @@ from .backbones import scn_det  # noqa: F401
 from .necks import rpn  # noqa: F401
 from .bbox_heads import center_head  # noqa: F401
 from .segmentors import voxelnet  # noqa: F401
+from .segmentors import point_pillars  # noqa: F401
+from .segmentors import two_stage  # noqa: F401
+from .readers import pillar_encoder  # noqa: F401
+from .second_stage import bev_extractor  # noqa: F401
+from .roi_heads import roi_head  # noqa: F401
 from .img_backbones import hrnet  # noqa: F401
 from .img_backbones import resnet  # noqa: F401
 from .img_heads import fcn_mseg3d_head  # noqa: F401

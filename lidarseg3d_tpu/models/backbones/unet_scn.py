@@ -36,6 +36,10 @@ class UNetSCN3D(nn.Module):
     def __call__(self, st_in: sp.SparseTensor, train: bool = True):
         r = self._cfg("SCALING_RATIO", 1)
         caps = self._cfg("DOWN_CAPACITY_RATIOS", (0.5, 0.25, 0.15))
+        # OUTPUT_SITES="union" restores spconv's receptive-field-union
+        # strided output sites for reference parity (default: decimation;
+        # see ops.sparse.downsample_structure)
+        sites = self._cfg("OUTPUT_SITES", "decimation")
         subm_rb = sp.build_subm_rulebook
         V = st_in.structure.capacity
 
@@ -44,19 +48,22 @@ class UNetSCN3D(nn.Module):
         t1 = sp.dense_table(s1)
         rb_subm1 = subm_rb(s1, table=t1)
 
-        s2 = sp.downsample_structure(s1, 2, capacity=max(1, int(V * caps[0])))
+        s2 = sp.downsample_structure(s1, 2, capacity=max(1, int(V * caps[0])),
+                                     padding=1, rule=sites)
         rb_down2 = sp.build_strided_rulebook(s1, s2, 3, 2, 1, table=t1)
         t2 = sp.dense_table(s2)
         rb_subm2 = subm_rb(s2, table=t2)
         rb_inv2 = sp.build_inverse_rulebook(s2, s1, 3, 2, 1, table=t2)
 
-        s3 = sp.downsample_structure(s2, 2, capacity=max(1, int(V * caps[1])))
+        s3 = sp.downsample_structure(s2, 2, capacity=max(1, int(V * caps[1])),
+                                     padding=1, rule=sites)
         t3 = sp.dense_table(s3)
         rb_down3 = sp.build_strided_rulebook(s2, s3, 3, 2, 1, table=t2)
         rb_subm3 = subm_rb(s3, table=t3)
         rb_inv3 = sp.build_inverse_rulebook(s3, s2, 3, 2, 1, table=t3)
 
-        s4 = sp.downsample_structure(s3, 2, capacity=max(1, int(V * caps[2])))
+        s4 = sp.downsample_structure(s3, 2, capacity=max(1, int(V * caps[2])),
+                                     padding=(0, 1, 1), rule=sites)
         t4 = sp.dense_table(s4)
         rb_down4 = sp.build_strided_rulebook(s3, s4, 3, 2, (0, 1, 1), table=t3)
         rb_subm4 = subm_rb(s4, table=t4)

@@ -44,6 +44,119 @@ class SepHead(nn.Module):
         return out
 
 
+def deform_conv2d(x, offset, weights, deformable_groups=4):
+    """DCN v1 deformable conv (NHWC, stride 1, 3x3).
+
+    TPU-native replacement for det3d/ops/dcn DeformConv: per-tap learned
+    offsets, bilinear sampling gathered in one vectorized pass, MXU matmul
+    accumulation over taps.
+
+    x: [B, H, W, C]; offset: [B, H, W, G*K*2] ((dy, dx) per tap per group);
+    weights: [K, C, Cout]. C must be divisible by deformable_groups.
+    """
+    B, H, W, C = x.shape
+    K = weights.shape[0]
+    k = int(round(K ** 0.5))
+    G = deformable_groups
+    Cg = C // G
+    off = offset.reshape(B, H, W, G, K, 2)
+    base = jnp.asarray(
+        [(dy - k // 2, dx - k // 2) for dy in range(k) for dx in range(k)],
+        x.dtype,
+    )  # [K, 2]
+    yy = jnp.arange(H, dtype=x.dtype)[None, :, None, None, None]
+    xx = jnp.arange(W, dtype=x.dtype)[None, None, :, None, None]
+    py = yy + base[None, None, None, None, :, 0] + off[..., 0]  # [B,H,W,G,K]
+    px = xx + base[None, None, None, None, :, 1] + off[..., 1]
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy = py - y0
+    wx = px - x0
+    xg = x.reshape(B, H, W, G, Cg)
+
+    def corner(yi, xi):
+        # zero padding outside the map (torch DCN semantics)
+        inb = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        idx = yc * W + xc  # [B, H, W, G, K]
+        outs = []
+        for g in range(G):  # per-group gather keeps memory at HW*K*Cg
+            flat_g = xg[..., g, :].reshape(B, H * W, Cg)
+            idx_g = idx[..., g, :].reshape(B, -1)  # [B, HWK]
+            got = jnp.take_along_axis(
+                flat_g,
+                jnp.broadcast_to(idx_g[..., None], (B, idx_g.shape[1], Cg)),
+                axis=1,
+            ).reshape(B, H, W, 1, K, Cg)
+            outs.append(got)
+        out = jnp.concatenate(outs, axis=3)  # [B, H, W, G, K, Cg]
+        return out * inb[..., None].astype(x.dtype)
+
+    s00 = corner(y0, x0)
+    s01 = corner(y0, x0 + 1)
+    s10 = corner(y0 + 1, x0)
+    s11 = corner(y0 + 1, x0 + 1)
+    wy = wy[..., None]
+    wx = wx[..., None]
+    sampled = (
+        s00 * (1 - wy) * (1 - wx) + s01 * (1 - wy) * wx
+        + s10 * wy * (1 - wx) + s11 * wy * wx
+    )  # [B, H, W, G, K, Cg]
+    sampled = jnp.moveaxis(sampled, 4, 3).reshape(B, H, W, K, C)
+    return jnp.einsum("bhwkc,kco->bhwo", sampled, weights,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+class FeatureAdaption(nn.Module):
+    """DCN v1 feature adaption (center_head.py:24-62): 1x1 offset conv
+    (zero-initialized) -> deformable 3x3 -> relu."""
+
+    out_channels: int
+    kernel_size: int = 3
+    deformable_groups: int = 4
+
+    @nn.compact
+    def __call__(self, x, train):
+        K = self.kernel_size ** 2
+        offset = nn.Conv(
+            self.deformable_groups * K * 2, (1, 1),
+            kernel_init=nn.initializers.zeros,
+        )(x)
+        w = self.param(
+            "deform_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (K, x.shape[-1], self.out_channels),
+        )
+        y = deform_conv2d(x, offset, w, self.deformable_groups)
+        return jax.nn.relu(y)
+
+
+class DCNSepHead(nn.Module):
+    """Separate DCN-adapted features for classification vs regression
+    (center_head.py:112-178)."""
+
+    heads: dict
+    num_cls: int
+    head_conv: int = 64
+
+    @nn.compact
+    def __call__(self, x, train):
+        c = x.shape[-1]
+        x_cls = FeatureAdaption(c)(x, train)
+        x_reg = FeatureAdaption(c)(x, train)
+        y = nn.Conv(self.head_conv, (3, 3), padding=((1, 1), (1, 1)))(x_cls)
+        y = MaskedBatchNorm()(y, train=train)
+        y = jax.nn.relu(y)
+        hm = nn.Conv(self.num_cls, (3, 3), padding=((1, 1), (1, 1)),
+                     bias_init=nn.initializers.constant(-2.19))(y)
+        heads = {k: v for k, v in dict(self.heads).items() if k != "hm"}
+        out = SepHead(heads, head_conv=self.head_conv)(x_reg, train)
+        out["hm"] = hm
+        return out
+
+
 def fast_focal_loss(pred_hm, gt_hm, ind, mask, cat):
     """Penalty-reduced focal loss (CornerNet/CenterNet style).
 
@@ -93,6 +206,7 @@ class CenterHead(nn.Module):
     common_heads: dict = None  # e.g. {reg:(2,2), height:(1,2), ...}
     share_conv_channel: int = 64
     num_hm_conv: int = 2
+    dcn_head: bool = False  # DCN feature-adaption variant (center_head.py:219)
     dataset: str = "waymo"
     logger: object = None
 
@@ -108,8 +222,12 @@ class CenterHead(nn.Module):
             heads = dict(self.common_heads or {
                 "reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2),
             })
-            heads["hm"] = (int(task["num_class"]), self.num_hm_conv)
-            rets.append(SepHead(heads)(y, train))
+            if self.dcn_head:
+                rets.append(DCNSepHead(heads, int(task["num_class"]))(
+                    y, train))
+            else:
+                heads["hm"] = (int(task["num_class"]), self.num_hm_conv)
+                rets.append(SepHead(heads)(y, train))
         return rets
 
     def get_loss(self, rets, targets):

@@ -66,10 +66,17 @@ class FCNMSeg3DHead(nn.Module):
             )
         x = jnp.concatenate(ups, axis=-1)
         feats = x
-        for _ in range(self.num_convs):
-            feats = ConvBNReLU(self.channels, kernel=self.kernel_size)(
-                feats, train
-            )
+        for i in range(self.num_convs):
+            if self.use_sc_conv and i > 0:
+                # reference replaces convs 1..n-1 with SCBottlenecks when
+                # use_sc_conv=True (fcn_mseg3d_head.py:100-113)
+                from .sc_conv import SCBottleneck
+
+                feats = SCBottleneck(self.channels)(feats, train)
+            else:
+                feats = ConvBNReLU(self.channels, kernel=self.kernel_size)(
+                    feats, train
+                )
         if self.concat_input:
             feats = ConvBNReLU(self.channels, kernel=self.kernel_size)(
                 jnp.concatenate([x, feats], axis=-1), train

@@ -156,11 +156,20 @@ class PointSegMSeg3DHead(nn.Module):
         p_cam = MaskedBatchNorm(eps=1e-6)(p_cam, mask=in_view, train=train)
         p_cam = jax.nn.relu(p_cam)
 
-        # cross-modal completion: pseudo-camera features from lidar
+        # cross-modal completion: pseudo-camera features from lidar.
+        # OOV_COMPLETION selects what out-of-view points carry downstream:
+        #   "pseudo_camera" (default) - the mimicked features, as described
+        #       in the MSeg3D paper (arXiv 2303.08600 sec 3.3)
+        #   "zero" - reference-code parity: the released implementation
+        #       zero-fills OOV camera features and uses p_pcam only for the
+        #       mimic loss (point_seg_mseg3d_head.py:314-334)
         p_pcam = MLPHead(
             tuple(cfg["MIMIC_FC"]), cfg["IMAGE_ALIGN_DIM"], bn_eps=1e-5
         )(p_lidar, mask=in_view, train=train)
-        p_ccam = jnp.where(in_view[..., None], p_cam, p_pcam)
+        if cfg.get("OOV_COMPLETION", "pseudo_camera") == "zero":
+            p_ccam = jnp.where(in_view[..., None], p_cam, 0.0)
+        else:
+            p_ccam = jnp.where(in_view[..., None], p_cam, p_pcam)
         p_ccam = p_ccam * pvalid[..., None]
 
         # GF-Phase

@@ -47,7 +47,11 @@ class VoxelNet(nn.Module):
         bev = self.backbone_mod(st, train=train)
         feats = self.neck_mod(bev, train=train)
         rets = self.head_mod(feats, train=train)
-        return rets, dict(example)
+        batch = dict(example)
+        # the neck output doubles as the second stage's BEV feature map
+        # (reference forward_two_stage, detectors/voxelnet.py)
+        batch["bev_feature"] = feats
+        return rets, batch
 
     @nn.nowrap
     def loss(self, rets, batch):
@@ -57,12 +61,36 @@ class VoxelNet(nn.Module):
 
     @nn.nowrap
     def predict(self, rets, batch, test_cfg=None):
+        """Decode per task, then merge tasks with global class offsets
+        (the reference's post_processing concat, detectors/voxelnet.py).
+        Returns dict(box3d_lidar [B, T*max_out, 7], scores, label_preds,
+        valid) plus the per-task list under "tasks"."""
+        import jax.numpy as jnp
+
+        from ..bbox_heads.center_head import CenterHead
+
         cfg = dict(test_cfg or self.test_cfg or {})
-        return self._make_head().decode(
+        # static decode: no module construction, so this is also callable
+        # from INSIDE a parent module's __call__ (TwoStageDetector proposals)
+        outs = CenterHead.decode(
             rets,
             voxel_size=cfg.get("voxel_size", (0.1, 0.1)),
             pc_range=cfg.get("pc_range", (-75.2, -75.2)),
             out_factor=cfg.get("out_size_factor", 8),
             score_threshold=cfg.get("score_threshold", 0.1),
             nms_iou=cfg.get("nms_iou_threshold", 0.5),
+            max_out=cfg.get("max_out", 83),
         )
+        offsets, off = [], 0
+        for t in dict(self.bbox_head).get("tasks", [{}] * len(outs)):
+            offsets.append(off)
+            off += int(t.get("num_class", 1)) if isinstance(t, dict) else 1
+        merged = {
+            "box3d_lidar": jnp.concatenate([o["box3d"] for o in outs], 1),
+            "scores": jnp.concatenate([o["scores"] for o in outs], 1),
+            "label_preds": jnp.concatenate(
+                [o["labels"] + offs for o, offs in zip(outs, offsets)], 1),
+            "valid": jnp.concatenate([o["valid"] for o in outs], 1),
+            "tasks": outs,
+        }
+        return merged

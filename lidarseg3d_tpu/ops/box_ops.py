@@ -132,3 +132,48 @@ def nms_bev(boxes, scores, iou_threshold=0.5, max_out=128):
         0, min(max_out, n), body, (alive0, picked0, pmask0)
     )
     return picked, pmask
+
+
+def boxes_iou_3d(boxes_a, boxes_b):
+    """3D IoU matrix [Na, Nb] for [N, 7] (x, y, z, dx, dy, dz, yaw).
+
+    Rotated BEV intersection area x z-overlap / volume union — the TPU
+    equivalent of det3d.ops.iou3d_nms boxes_iou3d_gpu used by the RoI
+    target assigner (roi_heads/target_assigner/proposal_target_layer.py).
+    z convention: box center z, extent dz (overlap on [z - dz/2, z + dz/2]).
+    """
+    bev_a = boxes_a[:, [0, 1, 3, 4, 6]]
+    bev_b = boxes_b[:, [0, 1, 3, 4, 6]]
+    ca = box_to_corners_2d(bev_a)
+    cb = box_to_corners_2d(bev_b)
+
+    def pair(c1, c2):
+        MAXV = 8
+        subject = jnp.concatenate([c1, jnp.broadcast_to(c1[-1:], (MAXV - 4, 2))])
+        poly, cnt = _polygon_clip(subject, _edges_to_half_planes(c2))
+        return _poly_area(poly, cnt)
+
+    inter_bev = jax.vmap(lambda c1: jax.vmap(lambda c2: pair(c1, c2))(cb))(ca)
+    za0 = boxes_a[:, 2] - boxes_a[:, 5] / 2
+    za1 = boxes_a[:, 2] + boxes_a[:, 5] / 2
+    zb0 = boxes_b[:, 2] - boxes_b[:, 5] / 2
+    zb1 = boxes_b[:, 2] + boxes_b[:, 5] / 2
+    zo = jnp.maximum(
+        jnp.minimum(za1[:, None], zb1[None, :])
+        - jnp.maximum(za0[:, None], zb0[None, :]), 0.0)
+    inter = inter_bev * zo
+    vol_a = boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5]
+    vol_b = boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5]
+    union = vol_a[:, None] + vol_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def rotate_points_along_z(points, angle):
+    """points [..., 3 or more], angle [...] (broadcast over the leading
+    dims): rotate the xy plane by +angle around z (center_utils
+    rotate_points_along_z semantics)."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    x = points[..., 0] * c - points[..., 1] * s
+    y = points[..., 0] * s + points[..., 1] * c
+    return jnp.concatenate(
+        [jnp.stack([x, y], -1), points[..., 2:]], axis=-1)

@@ -29,10 +29,9 @@ def assign_points_to_voxels(point_coords, point_valid, spatial_shape, capacity):
         spatial_shape=tuple(int(s) for s in spatial_shape),
     )
     table = sp.dense_table(struct)
-    qkeys = coord_ops.make_query_keys(
-        point_coords, spatial_shape, extra_valid=point_valid
+    p2v, found = coord_ops.lookup_coords(
+        table, point_coords, spatial_shape, extra_valid=point_valid
     )
-    p2v, found = coord_ops.lookup_any(table, qkeys)
     return struct, p2v, found
 
 

@@ -60,10 +60,9 @@ def grid_three_interpolate(
 
     def one(delta):
         q = pv + delta[None, None, :]
-        qkeys = coord_ops.make_query_keys(
-            q, struct.spatial_shape, extra_valid=point_valid
+        idx, found = coord_ops.lookup_coords(
+            table, q, struct.spatial_shape, extra_valid=point_valid
         )
-        idx, found = coord_ops.lookup_any(table, qkeys)
         gidx = sp.flatten_indices(idx, found, V)  # [B, N]
         cand = jnp.take(centers_flat, gidx.reshape(-1), axis=0).reshape(B, N, 3)
         d2 = jnp.sum((points_xyz - cand) ** 2, axis=-1)

@@ -122,22 +122,27 @@ def build_structure(coords, num_voxels, spatial_shape):
 
 
 # Coordinate lookup-table kind for rulebook builds:
-#   "auto"  - direct-address table when B * prod(grid) * 4 B fits the budget
-#             below, open-addressing hash map otherwise (default)
-#   "dense" - always the direct-address table (one-gather lookups, measured
-#             7.4 ms per 27V queries at SemanticKITTI scale, but
-#             prod(grid)*4 B = 371 MB per sample on that grid)
-#   "hash"  - always the hash map (O(16*capacity) slots ~ 8 MB; lookups cost
-#             max-probe-length rounds of full-query gathers, measured ~60 ms
-#             per 27V queries - the HBM-for-time fallback that unblocks
-#             batched training and huge grids)
+#   "auto"  - rank table when B * prod(grid) * 4 B fits the budget below,
+#             open-addressing hash map otherwise (default)
+#   "rank"  - direct-address table of packed cumulative ranks + x-activity
+#             bits: the three x-taps of a (dz, dy) kernel group cost ONE
+#             element gather (coords.RankTable); memory = dense + ~0.1%.
+#             REQUIRES key-sorted voxel rows (row == rank-1), which the host
+#             voxelizer (sort default), unique_coords, and every structure
+#             this framework builds guarantee
+#   "dense" - plain direct-address row-index table (27 gathers per 3^3
+#             rulebook; kept for oracle tests)
+#   "hash"  - open-addressing hash map (O(16*capacity) slots ~ 8 MB; lookups
+#             cost max-probe-length rounds of full-query gathers, measured
+#             ~60 ms per 27V queries - the HBM-for-time fallback that
+#             unblocks batched training and huge grids)
 TABLE_KIND = "auto"
 DENSE_TABLE_BUDGET_BYTES = 1 << 31  # 2 GB across the batch
 
 
 def set_table_kind(kind):
     global TABLE_KIND
-    assert kind in ("auto", "hash", "dense")
+    assert kind in ("auto", "rank", "hash", "dense")
     TABLE_KIND = kind
 
 
@@ -149,9 +154,13 @@ def dense_table(s: SparseStructure):
     if kind == "auto":
         ncells = int(np.prod([int(d) for d in s.spatial_shape]))
         dense_bytes = s.batch_size * ncells * 4
-        kind = "dense" if dense_bytes <= DENSE_TABLE_BUDGET_BYTES else "hash"
+        kind = "rank" if dense_bytes <= DENSE_TABLE_BUDGET_BYTES else "hash"
     if kind == "hash":
         return coord_ops.build_hash_map(
+            s.coords, s.num_voxels, s.spatial_shape
+        )
+    if kind == "rank":
+        return coord_ops.build_rank_table(
             s.coords, s.num_voxels, s.spatial_shape
         )
     return coord_ops.build_dense_table(s.coords, s.num_voxels, s.spatial_shape)
@@ -234,24 +243,48 @@ def gather_gemm(feat_flat_ext, gidx, weights, out_dtype=jnp.float32):
 def build_subm_rulebook(s: SparseStructure, kernel_size=3, table=None):
     """Global gather indices for a submanifold conv on structure ``s``.
 
-    Returns a list of K arrays [B, V] of flat indices into [B*V + 1, C].
-    Shared by every subm conv with the same indice_key (reference semantics:
-    spconv indice_key reuse, scn_unet.py:90-159).
+    Returns [K, B, V] flat indices into [B*V + 1, C]. Shared by every subm
+    conv with the same indice_key (reference semantics: spconv indice_key
+    reuse, scn_unet.py:90-159).
+
+    On a RankTable with a 3-wide x kernel dim, each (dz, dy) group of three
+    x-taps costs ONE gather (see coords.RankTable).
     """
     ks = _triple(kernel_size)
-    offsets = make_offsets(ks)
-    center = np.array([k // 2 for k in ks], dtype=np.int32)
     V = s.capacity
     if table is None:
         table = dense_table(s)
     valid = s.valid_mask()  # padded rows are (-1,-1,-1); an offset of +1 would
     # otherwise alias them onto the real voxel at the origin
+
+    if isinstance(table, coord_ops.RankTable) and ks[2] == 3:
+        kz, ky, _ = ks
+        groups = jnp.asarray(
+            [(dz - kz // 2, dy - ky // 2)
+             for dz in range(kz) for dy in range(ky)], jnp.int32)
+
+        def one_group(d):
+            qc = s.coords + jnp.stack(
+                [d[0], d[1], jnp.zeros((), jnp.int32)])[None, None, :]
+            (im, fm), (i0, f0), (ip, fp) = coord_ops.lookup_rank3(
+                table, qc, valid)
+            return jnp.stack([
+                flatten_indices(im, fm, V),
+                flatten_indices(i0, f0, V),
+                flatten_indices(ip, fp, V),
+            ])
+
+        out = jax.vmap(one_group)(groups)  # [G, 3, B, V]
+        return out.reshape(kz * ky * 3, *out.shape[2:])
+
+    offsets = make_offsets(ks)
+    center = np.array([k // 2 for k in ks], dtype=np.int32)
     deltas = jnp.asarray(np.array(offsets, np.int32) - center[None, :])
 
     def one(delta):
         q = s.coords + delta[None, None, :]
-        qkeys = coord_ops.make_query_keys(q, s.spatial_shape, extra_valid=valid)
-        idx, found = coord_ops.lookup_any(table, qkeys)
+        idx, found = coord_ops.lookup_coords(
+            table, q, s.spatial_shape, extra_valid=valid)
         return flatten_indices(idx, found, V)
 
     return jax.vmap(one)(deltas)  # [K, B, V]
@@ -276,17 +309,63 @@ def subm_conv(st: SparseTensor, weights, kernel_size=3, rulebook=None):
     return gather_gemm(_flat_features(st.features), rulebook, weights)
 
 
-def downsample_structure(st_struct: SparseStructure, stride, capacity):
-    """Output sites for a strided conv: unique(floor(coords / stride))."""
-    sz, sy, sx = _triple(stride)
+def downsample_structure(st_struct: SparseStructure, stride, capacity,
+                         kernel_size=3, padding=1, rule="decimation"):
+    """Output sites for a strided conv.
+
+    rule="decimation" (default): unique(floor(coords / stride))
+    (Minkowski-style). Every input voxel contributes to some output; only
+    outputs whose stride-block is empty (but whose kernel halo is not) are
+    omitted, and the decoder's inverse convs restore the exact stored
+    coordinate sets either way.
+
+    rule="union": spconv SparseConv3d parity — every output position whose
+    receptive field contains an active input, i.e. all o with
+    o*stride + t - pad == i for some tap t (cf. spconv's
+    get_indice_pairs). Produces a superset of decimation sites; used by
+    parity runs (UNetSCN3D model_cfg OUTPUT_SITES="union").
+    """
+    sz3 = _triple(stride)
     in_shape = st_struct.spatial_shape
-    out_shape = tuple(-(-d // s) for d, s in zip(in_shape, (sz, sy, sx)))
-    stride_arr = jnp.asarray([sz, sy, sx], dtype=jnp.int32)
-    down = st_struct.coords // stride_arr[None, None, :]
+    out_shape = tuple(-(-d // s) for d, s in zip(in_shape, sz3))
     valid = st_struct.valid_mask()
-    out_coords, out_num, _ = coord_ops.unique_coords(
-        down, valid, out_shape, capacity
-    )
+
+    if rule == "union":
+        ks3 = _triple(kernel_size)
+        pd3 = _triple(padding)
+        # per-dim candidate outputs: o in [ceil((i+p-k+1)/s), floor((i+p)/s)]
+        ncand = [-(-k // s) for k, s in zip(ks3, sz3)]
+        los, his, cands = [], [], []
+        for d in range(3):
+            i = st_struct.coords[..., d]
+            k, s, p = ks3[d], sz3[d], pd3[d]
+            lo = -(-(i + p - k + 1) // s)
+            hi = (i + p) // s
+            los.append(lo)
+            his.append(hi)
+        B, V, _ = st_struct.coords.shape
+        coords_c, valid_c = [], []
+        for jz in range(ncand[0]):
+            for jy in range(ncand[1]):
+                for jx in range(ncand[2]):
+                    oz, oy, ox = los[0] + jz, los[1] + jy, los[2] + jx
+                    ok = (valid & (oz <= his[0]) & (oy <= his[1])
+                          & (ox <= his[2]) & (oz >= 0) & (oy >= 0)
+                          & (ox >= 0) & (oz < out_shape[0])
+                          & (oy < out_shape[1]) & (ox < out_shape[2]))
+                    coords_c.append(jnp.stack([oz, oy, ox], axis=-1))
+                    valid_c.append(ok)
+        cand = jnp.concatenate(coords_c, axis=1)
+        cval = jnp.concatenate(valid_c, axis=1)
+        out_coords, out_num, _ = coord_ops.unique_coords(
+            cand, cval, out_shape, capacity
+        )
+    else:
+        stride_arr = jnp.asarray(sz3, dtype=jnp.int32)
+        down = st_struct.coords // stride_arr[None, None, :]
+        out_coords, out_num, _ = coord_ops.unique_coords(
+            down, valid, out_shape, capacity
+        )
     return SparseStructure(
         coords=out_coords,
         num_voxels=out_num,
@@ -310,18 +389,46 @@ def build_strided_rulebook(
         table = dense_table(s_in)
     stride_arr = jnp.asarray(sz, dtype=jnp.int32)
     ovalid = out_struct.valid_mask()
+    base = out_struct.coords * stride_arr[None, None, :]
+    Vin = s_in.capacity
+
+    if (isinstance(table, coord_ops.RankTable) and ks[2] == 3
+            and pad[2] <= 2):
+        # x-taps query cells base_x+dx-px for dx in {0,1,2}: consecutive,
+        # so one rank-table gather at the middle cell serves all three
+        kz, ky, _ = ks
+        groups = jnp.asarray(
+            [(dz - pad[0], dy - pad[1])
+             for dz in range(kz) for dy in range(ky)], jnp.int32)
+
+        def one_group(d):
+            qc = jnp.stack([
+                base[..., 0] + d[0],
+                base[..., 1] + d[1],
+                base[..., 2] + (1 - pad[2]),
+            ], axis=-1)
+            (im, fm), (i0, f0), (ip, fp) = coord_ops.lookup_rank3(
+                table, qc, ovalid)
+            return jnp.stack([
+                flatten_indices(im, fm, Vin),
+                flatten_indices(i0, f0, Vin),
+                flatten_indices(ip, fp, Vin),
+            ])
+
+        out = jax.vmap(one_group)(groups)
+        return out.reshape(kz * ky * 3, *out.shape[2:])
+
     deltas = jnp.asarray(
         np.array(make_offsets(ks), np.int32) - np.array(pad, np.int32)[None, :]
     )
-    base = out_struct.coords * stride_arr[None, None, :]
 
     def one(delta):
         # invalid output rows have coords=-1 -> q may still be in-bounds;
         # mask them explicitly
         q = base + delta[None, None, :]
-        qkeys = coord_ops.make_query_keys(q, s_in.spatial_shape, extra_valid=ovalid)
-        idx, found = coord_ops.lookup_any(table, qkeys)
-        return flatten_indices(idx, found, s_in.capacity)
+        idx, found = coord_ops.lookup_coords(
+            table, q, s_in.spatial_shape, extra_valid=ovalid)
+        return flatten_indices(idx, found, Vin)
 
     return jax.vmap(one)(deltas)
 
@@ -373,6 +480,55 @@ def build_inverse_rulebook(
     if table is None:
         table = dense_table(s_low)
     tvalid = target_struct.valid_mask()
+    Vlo = s_low.capacity
+
+    if (isinstance(table, coord_ops.RankTable) and ks[2] == 3
+            and int(sz[2]) in (1, 2)):
+        # x numerators n_dx = t + px - dx for dx in {0,1,2} are consecutive;
+        # with sx=1 all three map to consecutive source cells, with sx=2 the
+        # two same-parity numerators map to consecutive cells — either way
+        # one rank-table gather at g=(n0-1)>>1 (sx=2) / n0-1 (sx=1) covers
+        # the whole group.
+        kz, ky, _ = ks
+        sxi = int(sz[2])
+        miss = jnp.int32(target_struct.batch_size * Vlo)
+
+        def one_group(d):
+            dz, dy = d[0], d[1]
+            num_z = target_struct.coords[..., 0] + int(pad[0]) - dz
+            num_y = target_struct.coords[..., 1] + int(pad[1]) - dy
+            ez = num_z % int(sz[0]) == 0
+            ey = num_y % int(sz[1]) == 0
+            zq = num_z // int(sz[0])
+            yq = num_y // int(sz[1])
+            n0 = target_struct.coords[..., 2] + int(pad[2])
+            gvalid = tvalid & ez & ey
+            if sxi == 1:
+                center = n0 - 1
+            else:
+                center = (n0 - 1) >> 1
+            qc = jnp.stack([zq, yq, center], axis=-1)
+            (im, fm), (i0, f0), (ip, fp) = coord_ops.lookup_rank3(
+                table, qc, gvalid)
+            gm = flatten_indices(im, fm, Vlo)
+            g0 = flatten_indices(i0, f0, Vlo)
+            gp = flatten_indices(ip, fp, Vlo)
+            if sxi == 1:
+                # dx=0 -> cell n0 (=center+1), dx=1 -> n0-1, dx=2 -> n0-2
+                return jnp.stack([gp, g0, gm])
+            even = (n0 & 1) == 0
+            # even n0: dx=0 at cell n0/2 (=g+1), dx=2 at n0/2-1 (=g)
+            # odd  n0: dx=1 at (n0-1)/2 (=g)
+            t0 = jnp.where(even, gp, miss)
+            t1 = jnp.where(even, miss, g0)
+            t2 = jnp.where(even, g0, miss)
+            return jnp.stack([t0, t1, t2])
+
+        groups = jnp.asarray(
+            [(dz, dy) for dz in range(kz) for dy in range(ky)], jnp.int32)
+        out = jax.vmap(one_group)(groups)
+        return out.reshape(kz * ky * 3, *out.shape[2:])
+
     deltas = jnp.asarray(
         pad[None, :] - np.array(make_offsets(ks), np.int32)
     )
@@ -382,10 +538,9 @@ def build_inverse_rulebook(
         num = target_struct.coords + delta[None, None, :]
         exact = jnp.all(num % stride_arr[None, None, :] == 0, axis=-1)
         q = num // stride_arr[None, None, :]
-        qkeys = coord_ops.make_query_keys(
-            q, s_low.spatial_shape, extra_valid=exact & tvalid
+        idx, found = coord_ops.lookup_coords(
+            table, q, s_low.spatial_shape, extra_valid=exact & tvalid
         )
-        idx, found = coord_ops.lookup_any(table, qkeys)
         return flatten_indices(idx, found, s_low.capacity)
 
     return jax.vmap(one)(deltas)

@@ -90,10 +90,13 @@ def _conv_many(table_rows, gidx_k, weights, dtype, interpret, meta=None):
     N, Cin = table_rows.shape
     K, _, Cout = weights.shape
     bf16 = dtype == jnp.bfloat16
-    if bf16 and Cin % 2:
-        table_rows = jnp.pad(table_rows, ((0, 0), (0, 1)))
-        weights = jnp.pad(weights, ((0, 0), (0, 1), (0, 0)))
-        Cin += 1
+    # Mosaic dynamic sublane offsets (tail worklist im2col slices at
+    # row0 + tap*Cin) must be 8-aligned: pad Cin to a multiple of 8
+    if Cin % 8:
+        pad_c = 8 - Cin % 8
+        table_rows = jnp.pad(table_rows, ((0, 0), (0, pad_c)))
+        weights = jnp.pad(weights, ((0, 0), (0, pad_c), (0, 0)))
+        Cin += pad_c
     Np = _round_up(N, LANES)
     table_t = jnp.pad(table_rows, ((0, Np - N), (0, 0))).T.astype(dtype)
     if meta is None:
@@ -119,9 +122,9 @@ def _dw_many(table_rows, gidx_k, gout_rows, dtype, interpret, meta, cin):
     K = gidx_k.shape[0]
     bf16 = dtype == jnp.bfloat16
     padded_c = False
-    if bf16 and Cin % 2:
-        table_rows = jnp.pad(table_rows, ((0, 0), (0, 1)))
-        Cin += 1
+    if Cin % 8:
+        table_rows = jnp.pad(table_rows, ((0, 0), (0, 8 - Cin % 8)))
+        Cin += 8 - Cin % 8
         padded_c = True
     Np = _round_up(N, LANES)
     table_t = jnp.pad(table_rows, ((0, Np - N), (0, 0))).T.astype(dtype)

@@ -116,5 +116,6 @@ def test_voxelnet_forward_loss_decode():
 
     rets, bat = model.apply(variables, ex, train=False)
     dets = model.predict(rets, bat)
-    assert dets[0]["box3d"].shape[-1] == 7
-    assert np.isfinite(np.asarray(dets[0]["box3d"])).all()
+    assert dets["tasks"][0]["box3d"].shape[-1] == 7
+    assert dets["box3d_lidar"].shape[-1] == 7
+    assert np.isfinite(np.asarray(dets["box3d_lidar"])).all()

@@ -142,3 +142,33 @@ def test_projection_geometry(tmp_path):
     assert cp[0, 0] == 1
     np.testing.assert_allclose(cp[0, 1], IMW / 2, atol=1.0)
     np.testing.assert_allclose(cp[0, 2], IMH / 2, atol=1.0)
+
+
+def test_sc_conv_head_variant():
+    """FCNMSeg3DHead(use_sc_conv=True) runs the SCBottleneck path
+    (reference img_heads/sc_conv.py): finite outputs, same shapes as the
+    plain-conv head."""
+    import jax
+    import jax.numpy as jnp
+    from lidarseg3d_tpu.models.img_heads.fcn_mseg3d_head import FCNMSeg3DHead
+
+    rng = np.random.default_rng(0)
+    inputs = [
+        jnp.asarray(rng.normal(size=(2, 16, 24, c)).astype(np.float32))
+        for c in (18, 36, 72, 144)
+    ]
+    inputs = [inputs[0],
+              jnp.asarray(rng.normal(size=(2, 8, 12, 36)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(2, 4, 6, 72)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(2, 2, 3, 144)).astype(np.float32))]
+    head = FCNMSeg3DHead(num_classes=5, num_convs=3, channels=32,
+                         concat_input=False, use_sc_conv=True)
+    variables = head.init(jax.random.PRNGKey(0), inputs, batch_size=2,
+                          train=False)
+    out = head.apply(variables, inputs, batch_size=2, train=False)
+    assert out["image_logits"].shape == (2, 16, 24, 5)
+    assert out["image_features"].shape == (2, 16, 24, 32)
+    assert np.isfinite(np.asarray(out["image_logits"])).all()
+    # the SCBottleneck params actually exist in the tree
+    names = str(jax.tree_util.tree_structure(variables))
+    assert "SCBottleneck" in names

@@ -127,7 +127,7 @@ def test_two_process_lockstep_training(tmp_path):
         ))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=560)
+        out, err = p.communicate(timeout=1100)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
 

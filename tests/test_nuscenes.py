@@ -82,8 +82,10 @@ def write_tables(root, n_samples=3, n_pts=800, seed=0):
             next=f"sample{i+1}" if i < n_samples - 1 else "",
         ))
     tables["sample"] = samples
+    # an official TRAIN scene name: info creation drops scenes outside the
+    # vendored official splits
     tables["scene"].append(dict(
-        token="scene0", name="scene-9999", first_sample_token="sample0",
+        token="scene0", name="scene-0001", first_sample_token="sample0",
         last_sample_token=f"sample{n_samples-1}",
     ))
     for t, rows in tables.items():
@@ -182,3 +184,21 @@ def test_nusc_eval(tmp_path):
     }
     res, _ = ds.evaluation(dets)
     assert res["results"]["mIoU"] > 99.9
+
+
+def test_official_scene_splits_vendored():
+    """The vendored nuScenes scene splits carry the official 700/150/150
+    counts and are disjoint (VERDICT round-1 item 6: info creation must not
+    silently collapse to all-train without the devkit)."""
+    from lidarseg3d_tpu.datasets.nuscenes import splits
+
+    assert len(splits.train) == 700
+    assert len(splits.val) == 150
+    assert len(splits.test) == 150
+    assert len(splits.mini_train) == 8 and len(splits.mini_val) == 2
+    assert not (set(splits.train) & set(splits.val))
+    assert all(s.startswith("scene-") for s in splits.train + splits.val)
+    # mini splits draw from trainval (the official mini_train overlaps val
+    # for two scenes - a devkit quirk, preserved verbatim)
+    assert set(splits.mini_train) <= set(splits.train) | set(splits.val)
+    assert set(splits.mini_val) <= set(splits.train) | set(splits.val)

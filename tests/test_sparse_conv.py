@@ -10,7 +10,11 @@ from lidarseg3d_tpu.ops import coords as co
 
 
 def make_random_sparse(rng, B, V_cap, shape, Cin, density=0.2):
-    """Random active sites per sample, padded to V_cap (prefix-valid)."""
+    """Random active sites per sample, padded to V_cap (prefix-valid).
+
+    Rows are KEY-SORTED like the production voxelizer/unique_coords output
+    (required by the rank lookup table and the fused kernel's window
+    locality)."""
     Z, Y, X = shape
     coords = np.full((B, V_cap, 3), -1, np.int32)
     feats = np.zeros((B, V_cap, Cin), np.float32)
@@ -19,7 +23,7 @@ def make_random_sparse(rng, B, V_cap, shape, Cin, density=0.2):
     for b in range(B):
         total = Z * Y * X
         n = min(V_cap, max(1, int(total * density)))
-        lin = rng.choice(total, size=n, replace=False)
+        lin = np.sort(rng.choice(total, size=n, replace=False))
         z, rem = lin // (Y * X), lin % (Y * X)
         y, x = rem // X, rem % X
         f = rng.standard_normal((n, Cin)).astype(np.float32)
@@ -233,27 +237,39 @@ def test_hash_map_matches_dense():
     )
 
 
-def test_rulebooks_hash_vs_dense():
-    """Full subm/strided/inverse rulebooks identical under both table kinds."""
+@pytest.mark.parametrize("shape", [(6, 7, 8), (5, 9, 7)])
+def test_rulebooks_all_table_kinds_agree(shape):
+    """subm/strided/inverse rulebooks identical under dense, hash, and rank
+    tables (the rank table's grouped one-gather-per-x-triple fast path, incl.
+    odd x sizes, stride-1 inverse, and asymmetric kernels)."""
     rng = np.random.default_rng(12)
-    shape = (6, 7, 8)
     coords, _, nums, _ = make_random_sparse(rng, 2, 96, shape, 1, 0.3)
     s = sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape)
     out_s = sp.downsample_structure(s, 2, capacity=96)
     prev = sp.TABLE_KIND
     try:
         books = {}
-        for kind in ("dense", "hash"):
+        for kind in ("dense", "hash", "rank"):
             sp.set_table_kind(kind)
             books[kind] = [
                 np.asarray(sp.build_subm_rulebook(s, 3)),
+                np.asarray(sp.build_subm_rulebook(s, (1, 3, 3))),
+                np.asarray(sp.build_subm_rulebook(s, (3, 1, 3))),
+                np.asarray(sp.build_subm_rulebook(s, (3, 1, 1))),
                 np.asarray(sp.build_strided_rulebook(s, out_s, 3, 2, 1)),
+                np.asarray(sp.build_strided_rulebook(
+                    s, out_s, 3, 2, (0, 1, 1))),
                 np.asarray(sp.build_inverse_rulebook(out_s, s, 3, 2, 1)),
+                np.asarray(sp.build_inverse_rulebook(
+                    out_s, s, 3, 2, (0, 1, 1))),
+                np.asarray(sp.build_inverse_rulebook(s, s, 3, 1, 1)),
             ]
     finally:
         sp.set_table_kind(prev)
-    for a, b in zip(books["dense"], books["hash"]):
-        np.testing.assert_array_equal(a, b)
+    for i, (a, b) in enumerate(zip(books["dense"], books["hash"])):
+        np.testing.assert_array_equal(a, b, err_msg=f"hash book {i}")
+    for i, (a, b) in enumerate(zip(books["dense"], books["rank"])):
+        np.testing.assert_array_equal(a, b, err_msg=f"rank book {i}")
 
 
 def test_fused_conv_grads_match_xla():
@@ -296,3 +312,35 @@ def test_fused_conv_grads_match_xla():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_union_output_sites_match_spconv_rule():
+    """OUTPUT_SITES="union" reproduces spconv's receptive-field-union
+    strided output sites (brute-force oracle), and is a superset of the
+    default decimation sites."""
+    rng = np.random.default_rng(21)
+    shape = (6, 9, 7)
+    coords, _, nums, _ = make_random_sparse(rng, 1, 64, shape, 1, 0.15)
+    s = sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape)
+    for ks, st, pd in [(3, 2, 1), (3, 2, (0, 1, 1)), ((3, 1, 1), (2, 1, 1), 0)]:
+        out_u = sp.downsample_structure(s, st, capacity=256, kernel_size=ks,
+                                        padding=pd, rule="union")
+        ks3, st3, pd3 = sp._triple(ks), sp._triple(st), sp._triple(pd)
+        oshape = out_u.spatial_shape
+        want = set()
+        for i in np.asarray(coords)[0][: int(nums[0])]:
+            for t in sp.make_offsets(ks3):
+                o = [(int(i[d]) + pd3[d] - t[d]) for d in range(3)]
+                if all(v % st3[d] == 0 for d, v in enumerate(o)):
+                    o = [v // st3[d] for d, v in enumerate(o)]
+                    if all(0 <= o[d] < oshape[d] for d in range(3)):
+                        want.add(tuple(o))
+        got = {
+            tuple(c) for c in np.asarray(out_u.coords)[0][: int(out_u.num_voxels[0])]
+        }
+        assert got == want, (ks, st, pd)
+        out_d = sp.downsample_structure(s, st, capacity=256)
+        dec = {
+            tuple(c) for c in np.asarray(out_d.coords)[0][: int(out_d.num_voxels[0])]
+        }
+        assert dec <= got

@@ -90,3 +90,39 @@ def test_waymo_eval(tmp_path):
         dets[i["token"]] = {"pred_point_sem_labels": full}
     res, _ = ds.evaluation(dets)
     assert res["results"]["mIoU"] > 99.9
+
+
+def test_label_range_image_roundtrip():
+    """Scattering per-point labels into the [64, 2650, 2] label range image
+    places class ids at exactly the stored (col, row) cells (the TF-free
+    part of the submission writer; proto packing itself is gated on
+    waymo_open_dataset)."""
+    from lidarseg3d_tpu.datasets.waymo.submission import (
+        _label_range_image, TOP_LIDAR_ROW_NUM, TOP_LIDAR_COL_NUM,
+    )
+    rng = np.random.default_rng(0)
+    n = 500
+    cells = rng.choice(TOP_LIDAR_ROW_NUM * TOP_LIDAR_COL_NUM, n, replace=False)
+    rows, cols = cells // TOP_LIDAR_COL_NUM, cells % TOP_LIDAR_COL_NUM
+    indexing = np.stack([cols, rows], -1).astype(np.int32)
+    labels = rng.integers(1, 23, n).astype(np.int32)
+    ri = _label_range_image(indexing, labels)
+    assert ri.shape == (TOP_LIDAR_ROW_NUM, TOP_LIDAR_COL_NUM, 2)
+    np.testing.assert_array_equal(ri[rows, cols, 1], labels)
+    assert ri[..., 0].sum() == 0
+    assert (ri[..., 1] != 0).sum() == n
+
+
+def test_top_slices_select_top_lidar_points():
+    """top_slices reconstruct the TOP ri1/ri2 label segments from the flat
+    converter point order (ri1 all-lidars TOP-first, then ri2)."""
+    n_top1, n_oth1, n_top2, n_oth2 = 40, 25, 15, 10
+    sl = {"ri1": [0, n_top1], "ri2": [n_top1 + n_oth1, n_top2]}
+    flat = np.concatenate([
+        np.full(n_top1, 1), np.full(n_oth1, 9),
+        np.full(n_top2, 2), np.full(n_oth2, 9),
+    ])
+    ri1 = flat[sl["ri1"][0]: sl["ri1"][0] + sl["ri1"][1]]
+    ri2 = flat[sl["ri2"][0]: sl["ri2"][0] + sl["ri2"][1]]
+    assert (ri1 == 1).all() and len(ri1) == n_top1
+    assert (ri2 == 2).all() and len(ri2) == n_top2
