@@ -20,6 +20,37 @@ from ..parallel import mesh as mesh_lib
 from ..solver.optim import build_one_cycle_optimizer
 
 
+class TrainerHook:
+    """User extension point for the training loop.
+
+    The reference's hook registry (det3d/torchie/trainer/hooks, dispatched
+    by Trainer.call_hook at before/after run/epoch/iter) maps onto these
+    overridable no-op methods; pass instances via
+    ``train_segmentor(hooks=[...])``. Built-in behaviours (logging, ckpt,
+    TB, profiler) stay inline — hooks ADD behaviour (EMA, custom eval,
+    early stop via StopTraining, etc.).
+    """
+
+    def before_run(self, state, loop):  # loop: dict of loop constants
+        return state
+
+    def before_epoch(self, state, epoch):
+        return state
+
+    def after_iter(self, state, ldict, global_step):
+        return state
+
+    def after_epoch(self, state, epoch):
+        return state
+
+    def after_run(self, state):
+        return state
+
+
+class StopTraining(Exception):
+    """Raise from a hook to end training cleanly."""
+
+
 @struct.dataclass
 class TrainState:
     step: jnp.ndarray
@@ -187,6 +218,7 @@ def train_segmentor(
     init_hook=None,
     tb_log_dir=None,
     profile_dir=None,
+    hooks=(),
 ):
     """Epoch-based training loop (cf. Trainer.run/train,
     trainer.py:391-434,509). Optional extras: TensorBoard scalars
@@ -227,9 +259,22 @@ def train_segmentor(
 
     train_step = jax.jit(make_train_step(model, tx, input_shape), donate_argnums=0)
 
+    loop_info = dict(total_epochs=total_epochs, steps_per_epoch=steps_per_epoch,
+                     work_dir=work_dir, lr_fn=lr_fn)
+    for h in hooks:
+        state = h.before_run(state, loop_info) or state
+
     t_start = time.time()
     global_step = start_epoch * steps_per_epoch
+    stop = False
     for epoch in range(start_epoch, total_epochs):
+        for h in hooks:
+            try:
+                state = h.before_epoch(state, epoch) or state
+            except StopTraining:
+                stop = True
+        if stop:
+            break
         buf, t_data, t_iter = {}, 0.0, time.time()
         for it, batch in enumerate(loader.epoch(epoch)):
             t0 = time.time()
@@ -238,6 +283,11 @@ def train_segmentor(
             if profile_dir and global_step == 10:
                 jax.profiler.start_trace(profile_dir)
             state, ldict = train_step(state, dev_batch)
+            for h in hooks:
+                try:
+                    state = h.after_iter(state, ldict, global_step) or state
+                except StopTraining:
+                    stop = True
             if profile_dir and global_step == 14:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
@@ -265,4 +315,13 @@ def train_segmentor(
         logger.info(f"saved checkpoint epoch_{epoch+1}")
         if val_fn is not None:
             val_fn(state, epoch + 1)
+        for h in hooks:
+            try:
+                state = h.after_epoch(state, epoch + 1) or state
+            except StopTraining:
+                stop = True
+        if stop:
+            break
+    for h in hooks:
+        state = h.after_run(state) or state
     return state

@@ -58,6 +58,42 @@ def points_to_voxel(points, voxel_size, coors_range, max_points=35,
 
     # linear key over (z, y, x)
     key = (c[:, 2] * grid_size[1] + c[:, 1]) * grid_size[0] + c[:, 0]
+
+    if sort_by_key:
+        # Fast path (the production default): the output is key-sorted, so
+        # skip the first-occurrence bookkeeping (np.unique + two argsorts +
+        # a full reorder copy) and build directly in key order with ONE
+        # stable argsort. Semantics differ from the slow path only when the
+        # scan overflows max_voxels: truncation keeps the smallest keys
+        # here vs the earliest-seen voxels there; both are arbitrary
+        # subsets, and at the production capacities overflow is rare.
+        sort_idx = np.argsort(key, kind="stable")
+        skey = key[sort_idx]
+        n = len(skey)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        np.not_equal(skey[1:], skey[:-1], out=new[1:])
+        vox_sorted = np.cumsum(new) - 1
+        starts = np.nonzero(new)[0]
+        n_uniq = len(starts)
+        num_vox = min(n_uniq, max_voxels)
+        rank_sorted = np.arange(n) - starts[vox_sorted]
+        keep = (vox_sorted < num_vox) & (rank_sorted < max_points)
+        voxels = np.zeros((num_vox, max_points, points.shape[1]),
+                          dtype=points.dtype)
+        voxels[vox_sorted[keep], rank_sorted[keep]] = points[
+            pidx[sort_idx[keep]]]
+        counts = np.diff(np.append(starts, n))
+        num_points_per_voxel = np.minimum(
+            counts[:num_vox], max_points).astype(np.int32)
+        kept_keys = skey[starts[:num_vox]]
+        cz = kept_keys // (grid_size[1] * grid_size[0])
+        rem = kept_keys % (grid_size[1] * grid_size[0])
+        cy = rem // grid_size[0]
+        cx = rem % grid_size[0]
+        coors = np.stack([cz, cy, cx], axis=1).astype(np.int32)
+        return voxels, coors, num_points_per_voxel
+
     uniq, first_idx, inv, counts = np.unique(
         key, return_index=True, return_inverse=True, return_counts=True
     )
@@ -87,16 +123,6 @@ def points_to_voxel(points, voxel_size, coors_range, max_points=35,
     )
 
     kept_keys = uniq[occ_order[:num_vox]]
-
-    if sort_by_key:
-        # reorder the kept voxels by spatial key: +x-adjacent voxels become
-        # adjacent rows, improving device gather locality and enabling
-        # windowed-tap reads (same voxel SET as first-occurrence order —
-        # truncation above is unchanged)
-        order = np.argsort(kept_keys, kind="stable")
-        kept_keys = kept_keys[order]
-        voxels = voxels[order]
-        num_points_per_voxel = num_points_per_voxel[order]
 
     cz = kept_keys // (grid_size[1] * grid_size[0])
     rem = kept_keys % (grid_size[1] * grid_size[0])

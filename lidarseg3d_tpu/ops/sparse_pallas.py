@@ -38,6 +38,10 @@ LANES = pc.LANES
 # the ~16 MB VMEM of a v5e core (measured good at 8.4 MB: C=32, V=131072 bf16)
 TABLE_BUDGET_BYTES = 9 << 20
 MAX_ROWS = pc._MAX_BLOCKS * LANES  # packed 14-bit window-start fields
+# output blocks per kernel call: the prefetched per-block metadata (epack
+# [nb, K] etc.) lives in the 1 MB SMEM — nb=2048 overflows it (measured at
+# B=2), so larger outputs run as column-chunked calls over the same table
+MAX_NB_PER_CALL = 1024
 
 
 def _round_up(n, m):
@@ -69,15 +73,56 @@ def kernel_rulebook(gidx, n_in):
 
 
 def _chunk_sizes(cin, np_rows, itemsize, pair):
-    """Split Cin so each chunk's [cc, Np] table fits the VMEM budget."""
-    max_c = max(2 if pair else 1, TABLE_BUDGET_BYTES // (np_rows * itemsize))
-    if pair:
-        max_c -= max_c % 2
+    """Split Cin so each chunk's [cc, Np] table fits the VMEM budget.
+
+    Chunk sizes are multiples of 8: the kernel's dynamic im2col sublane
+    offsets are tap*Cin, which Mosaic must statically prove 8-aligned."""
+    max_c = max(8, (TABLE_BUDGET_BYTES // (np_rows * itemsize)) // 8 * 8)
     nchunk = -(-cin // max_c)
-    csize = -(-cin // nchunk)
-    if pair and csize % 2:
-        csize += 1
+    csize = _round_up(-(-cin // nchunk), 8)
     return [(c0, min(c0 + csize, cin)) for c0 in range(0, cin, csize)]
+
+
+def _slice_meta(meta, b0, b1):
+    return dict(
+        gcode=meta["gcode"][:, b0:b1],
+        epack=meta["epack"][b0:b1],
+        ecnt=meta["ecnt"][b0:b1],
+        nz=meta["nz"][b0:b1],
+    )
+
+
+def _call_conv(table_chunk, gidx_k, wmat, cout, meta, interpret):
+    """rulebook_conv_block, column-chunked to respect the SMEM budget."""
+    nb = gidx_k.shape[1] // LANES
+    if nb <= MAX_NB_PER_CALL:
+        return pc.rulebook_conv_block(
+            table_chunk, gidx_k, wmat, cout=cout, meta=meta,
+            interpret=interpret)
+    outs = []
+    for b0 in range(0, nb, MAX_NB_PER_CALL):
+        b1 = min(b0 + MAX_NB_PER_CALL, nb)
+        outs.append(pc.rulebook_conv_block(
+            table_chunk, gidx_k[:, b0 * LANES: b1 * LANES], wmat, cout=cout,
+            meta=_slice_meta(meta, b0, b1), interpret=interpret))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _call_dw(table_chunk, gidx_k, gout, meta, interpret):
+    """rulebook_conv_dw, column-chunked; partial dW sums are exact."""
+    nb = gidx_k.shape[1] // LANES
+    if nb <= MAX_NB_PER_CALL:
+        return pc.rulebook_conv_dw(
+            table_chunk, gidx_k, gout, meta=meta, interpret=interpret)
+    acc = None
+    for b0 in range(0, nb, MAX_NB_PER_CALL):
+        b1 = min(b0 + MAX_NB_PER_CALL, nb)
+        part = pc.rulebook_conv_dw(
+            table_chunk, gidx_k[:, b0 * LANES: b1 * LANES],
+            gout[b0 * LANES: b1 * LANES], meta=_slice_meta(meta, b0, b1),
+            interpret=interpret)
+        acc = part if acc is None else acc + part
+    return acc
 
 
 def _conv_many(table_rows, gidx_k, weights, dtype, interpret, meta=None):
@@ -108,9 +153,8 @@ def _conv_many(table_rows, gidx_k, weights, dtype, interpret, meta=None):
             .reshape(Cout, -1)
             .astype(dtype)
         )
-        o = pc.rulebook_conv_block(
-            table_t[c0:c1], gidx_k, wmat, cout=Cout, meta=meta,
-            interpret=interpret,
+        o = _call_conv(
+            table_t[c0:c1], gidx_k, wmat, Cout, meta, interpret,
         ).astype(jnp.float32)
         out = o if out is None else out + o
     return out.T, meta  # [Mpad, Cout] fp32
@@ -131,8 +175,8 @@ def _dw_many(table_rows, gidx_k, gout_rows, dtype, interpret, meta, cin):
     gout = gout_rows.astype(dtype)
     parts = []
     for c0, c1 in _chunk_sizes(Cin, Np, jnp.dtype(dtype).itemsize, bf16):
-        dw = pc.rulebook_conv_dw(
-            table_t[c0:c1], gidx_k, gout, meta=meta, interpret=interpret
+        dw = _call_dw(
+            table_t[c0:c1], gidx_k, gout, meta, interpret
         )  # [K*(c1-c0), Cout] fp32
         parts.append(dw.reshape(K, c1 - c0, -1))
     dw = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]

@@ -344,3 +344,39 @@ def test_union_output_sites_match_spconv_rule():
             tuple(c) for c in np.asarray(out_d.coords)[0][: int(out_d.num_voxels[0])]
         }
         assert dec <= got
+
+
+def test_fused_conv_column_chunking_matches():
+    """SMEM-bounded column chunking (MAX_NB_PER_CALL) is exact: forward and
+    grads equal the unchunked fused path."""
+    from lidarseg3d_tpu.ops import sparse_pallas as spk
+
+    rng = np.random.default_rng(9)
+    B, Vc, shape, Cin, Cout = 2, 128, (6, 7, 8), 4, 6
+    coords, feats, nums, _ = make_random_sparse(rng, B, Vc, shape, Cin, 0.3)
+    st_struct = sp.build_structure(jnp.asarray(coords), jnp.asarray(nums),
+                                   shape)
+    rb = sp.build_subm_rulebook(st_struct, 3)
+    W = jnp.asarray(0.1 * rng.standard_normal((27, Cin, Cout)).astype(
+        np.float32))
+    x = jnp.asarray(feats)
+
+    def f(x, W):
+        return jnp.sum(jnp.sin(spk.fused_conv(x, W, rb, None, mode="fp32",
+                                              interpret=True)))
+
+    prev = spk.MAX_NB_PER_CALL
+    try:
+        spk.MAX_NB_PER_CALL = 4096
+        ref_out = spk.fused_conv(x, W, rb, None, mode="fp32", interpret=True)
+        ref_g = jax.grad(f, (0, 1))(x, W)
+        spk.MAX_NB_PER_CALL = 1  # force one kernel call per 128-voxel block
+        chk_out = spk.fused_conv(x, W, rb, None, mode="fp32", interpret=True)
+        chk_g = jax.grad(f, (0, 1))(x, W)
+    finally:
+        spk.MAX_NB_PER_CALL = prev
+    np.testing.assert_allclose(np.asarray(chk_out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(chk_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

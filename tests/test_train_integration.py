@@ -253,3 +253,78 @@ def test_forward_with_empty_padded_sample(tmp_path):
     ret, bat = model.apply(variables, ex, train=False)
     out = np.asarray(ret["out_logits"])
     assert np.isfinite(out).all()
+
+
+def test_loader_shm_mode_matches_thread_mode(tmp_path):
+    """Shared-memory ring workers produce byte-identical batches, in order,
+    to the in-process thread path (determinism across worker modes)."""
+    root = str(tmp_path)
+    write_fixture(root, seqs=("00",), frames=5)
+    cfg = dataset_cfg(root, train=True)
+    ds = build_dataset(cfg)
+    kw = dict(batch_size=1, max_voxels=2000, max_points=1400, shuffle=True,
+              seed=3, drop_last=False)
+    ref_loader = SegDataLoader(ds, num_workers=1, worker_mode="thread", **kw)
+    shm_loader = SegDataLoader(ds, num_workers=2, worker_mode="shm", **kw)
+    try:
+        ref = list(ref_loader.epoch(0))
+        got = list(shm_loader.epoch(0))
+        assert len(ref) == len(got) == 5
+        for rb, gb in zip(ref, got):
+            assert set(rb.keys()) == set(gb.keys())
+            for k in rb:
+                if isinstance(rb[k], np.ndarray):
+                    np.testing.assert_array_equal(rb[k], gb[k], err_msg=k)
+    finally:
+        shm_loader.shutdown()
+
+
+def test_trainer_hooks(tmp_path):
+    """TrainerHook events fire in order and StopTraining ends cleanly
+    (the user extension point replacing the reference hook registry)."""
+    from lidarseg3d_tpu.apis.train import TrainerHook, StopTraining
+
+    root = str(tmp_path)
+    write_fixture(root, seqs=("00",), frames=4)
+    ds = build_dataset(dataset_cfg(root, train=True))
+    # batch must divide the 8-device test mesh
+    loader = SegDataLoader(ds, batch_size=8, max_voxels=2000, max_points=1400,
+                           num_workers=1, drop_last=False, seed=0)
+    events = []
+
+    class Recorder(TrainerHook):
+        def before_run(self, state, loop):
+            events.append(("before_run", loop["total_epochs"]))
+
+        def before_epoch(self, state, epoch):
+            events.append(("before_epoch", epoch))
+
+        def after_iter(self, state, ldict, global_step):
+            events.append(("after_iter", global_step))
+
+        def after_epoch(self, state, epoch):
+            events.append(("after_epoch", epoch))
+            raise StopTraining  # end after the first epoch
+
+        def after_run(self, state):
+            events.append(("after_run",))
+
+    import logging
+    from lidarseg3d_tpu.apis.train import train_segmentor
+
+    model = build_detector(tiny_model_cfg())
+    train_segmentor(
+        model=model, loader=loader, input_shape=input_shape(),
+        optimizer_cfg=dict(type="adam", wd=0.01, fixed_wd=True),
+        lr_cfg=dict(lr_max=1e-3, moms=[0.95, 0.85]),
+        total_epochs=3, work_dir=str(tmp_path / "wd"),
+        logger=logging.getLogger("t"), hooks=[Recorder()],
+    )
+    kinds = [e[0] for e in events]
+    assert kinds[0] == "before_run"
+    assert kinds[1] == "before_epoch"
+    assert "after_iter" in kinds
+    assert ("after_epoch", 1) in events
+    assert kinds[-1] == "after_run"
+    # StopTraining after epoch 1 -> no second before_epoch
+    assert kinds.count("after_epoch") == 1

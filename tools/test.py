@@ -86,6 +86,8 @@ def main():
         max_points=cap.get("max_points", 140000),
         shuffle=False, num_hosts=jax.process_count(),
         host_id=jax.process_index(), num_workers=cfg.data.get("workers_per_gpu", 4),
+        worker_mode=cfg.data.get(
+            "worker_mode", "shm" if (os.cpu_count() or 1) > 2 else "thread"),
         drop_last=False,
     )
 
