@@ -96,6 +96,18 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
             np.arange(max_voxels)[None, :] < batch["num_voxels"][:, None]
         )
     batch["metadata"] = metadata
+
+    # detection extras: stacked per-task center targets + padded gt boxes
+    if "det_targets" in frames[0]:
+        ntasks = len(frames[0]["det_targets"])
+        batch["det_targets"] = [
+            {k: np.stack([fr["det_targets"][t][k] for fr in frames])
+             for k in frames[0]["det_targets"][t]}
+            for t in range(ntasks)
+        ]
+    if "gt_boxes_and_cls" in frames[0]:
+        batch["gt_boxes_and_cls"] = np.stack(
+            [fr["gt_boxes_and_cls"] for fr in frames])
     return batch
 
 

@@ -122,7 +122,31 @@ def decode_frame(frame):
         "annotations": {
             "point_sem_labels": labels,
             "num_seg_points": int(num_seg_points),
+            **_decode_laser_labels(frame),
         },
+    }
+
+
+_WAYMO_TYPE_NAMES = {1: "VEHICLE", 2: "PEDESTRIAN", 3: "SIGN", 4: "CYCLIST"}
+
+
+def _decode_laser_labels(frame):
+    """frame.laser_labels -> gt boxes for the detection pipeline
+    (cf. det3d/datasets/waymo/waymo_decoder.py): [x, y, z, dx(L), dy(W),
+    dz(H), heading] + class names + lidar point counts."""
+    import numpy as np
+
+    boxes, names, counts = [], [], []
+    for lab in frame.laser_labels:
+        b = lab.box
+        boxes.append([b.center_x, b.center_y, b.center_z,
+                      b.length, b.width, b.height, b.heading])
+        names.append(_WAYMO_TYPE_NAMES.get(int(lab.type), "UNKNOWN"))
+        counts.append(int(lab.num_lidar_points_in_box))
+    return {
+        "gt_boxes": np.asarray(boxes, np.float32).reshape(-1, 7),
+        "gt_names": np.asarray(names, dtype=object),
+        "gt_num_points": np.asarray(counts, np.int32),
     }
 
 
