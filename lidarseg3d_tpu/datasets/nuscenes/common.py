@@ -132,6 +132,9 @@ def create_nuscenes_seg_infos(root, version="v1.0-trainval", nsweeps=1,
             ref_to_global, _ = _sd_global_from_sensor(ts, sd)
             info = {
                 "token": sample_token,
+                # official lidarseg submissions are keyed by the LIDAR_TOP
+                # sample_data token, not the sample token
+                "lidar_sd_token": sd_token,
                 "lidar_path": osp.join(root, sd["filename"]),
                 "lidarseg_path": seg_path,
                 "ref_to_global": ref_to_global.astype(np.float32),

@@ -118,11 +118,16 @@ class SemanticNuscDataset:
 
             out_dir = osp.join(output_dir or ".", "results_folder/lidarseg/test")
             os.makedirs(out_dir, exist_ok=True)
+            # official format: {lidar_sample_data_token}_lidarseg.bin
+            # (sample tokens are what the loader tracks; map via the infos)
+            sd_by_sample = {i["token"]: i.get("lidar_sd_token", i["token"])
+                            for i in self._infos}
             for token, pred in detections.items():
                 labels = np.asarray(
                     pred["pred_point_sem_labels"]
                 ).astype(np.uint8)
-                labels.tofile(osp.join(out_dir, f"{token}_lidarseg.bin"))
+                sd_token = sd_by_sample.get(token, token)
+                labels.tofile(osp.join(out_dir, f"{sd_token}_lidarseg.bin"))
             return None, None
 
         unique_label = np.asarray(sorted(meta.LABELS_16.keys()))[1:] - 1
