@@ -211,15 +211,13 @@ class DetAssignLabel:
         ).astype(int)
         hw = (int(grid[1]) // self.out_size_factor,
               int(grid[0]) // self.out_size_factor)
-        task_classes = [t["class_names"] if "class_names" in t
-                        else list(range(t["num_class"])) for t in self.tasks]
-        # class ids per task are LOCAL 0-based; build global->task mapping
-        offsets, class_ids = [], []
-        off = 0
+        # tasks own consecutive global class-id ranges, in the order the
+        # config concatenates class_names (DetPreprocess assigns 1-based
+        # global ids the same way)
+        class_ids, off = [], 0
         for t in self.tasks:
             n = int(t["num_class"])
             class_ids.append(list(range(off, off + n)))
-            offsets.append(off)
             off += n
         targets = assign_center_targets(
             boxes, classes - 1, class_ids, grid_hw=hw,
