@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("dataset", choices=["semanticnusc", "semanticwaymo"])
+    ap.add_argument("dataset", choices=["semanticnusc", "semanticwaymo",
+                                    "waymo_gt_database"])
     ap.add_argument("--root", required=True)
     ap.add_argument("--version", default="v1.0-trainval")
     ap.add_argument("--nsweeps", type=int, default=1)
@@ -24,6 +25,30 @@ def main():
                     help="include 6-camera calibration/paths (MSeg3D)")
     ap.add_argument("--out_dir", default=None)
     args = ap.parse_args()
+
+    if args.dataset == "waymo_gt_database":
+        # detection gt database for DBSampler paste augmentation
+        from lidarseg3d_tpu.datasets import build_dataset
+        from lidarseg3d_tpu.datasets.pipelines.det_pipeline import (
+            create_gt_database,
+        )
+
+        info_path = os.path.join(
+            args.root, f"infos_train_{args.nsweeps:02d}sweeps_segdet.pkl")
+        ds = build_dataset(dict(
+            type="SemanticWaymoDataset", root_path=args.root,
+            info_path=info_path,
+            pipeline=[
+                dict(type="LoadPointCloudFromFile",
+                     dataset="SemanticWaymoDataset"),
+                dict(type="LoadDetAnnotations"),
+            ],
+        ))
+        db = create_gt_database(
+            ds, args.out_dir or args.root,
+            class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"], min_points=5)
+        print(f"wrote {db}")
+        return
 
     if args.dataset == "semanticnusc":
         from lidarseg3d_tpu.datasets.nuscenes.common import (
