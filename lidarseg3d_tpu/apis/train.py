@@ -292,6 +292,8 @@ def train_segmentor(
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
             global_step += 1
+            if stop:
+                break
             for k, v in ldict.items():
                 buf.setdefault(k, []).append(v)
             if (it + 1) % log_interval == 0:

@@ -11,7 +11,7 @@ Semantics match the reference numba kernels:
   (labels arrive +1-shifted so 0 marks padding; output is shifted back).
 
 These run in dataloader workers; the on-device dynamic voxelizer lives in
-``lidarseg3d_tpu.ops.scatter``.
+``lidarseg3d_tpu.ops.dynamic_voxel``.
 """
 
 import numpy as np

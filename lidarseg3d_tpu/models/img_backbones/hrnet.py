@@ -133,6 +133,11 @@ class HRNet(nn.Module):
     def __call__(self, x, train: bool = True):
         """x: [N, H, W, 3] -> list of 4 feature maps (1/4 .. 1/32)."""
         extra = self.extra
+        # norm_eval=True (mmcv BaseModule.train() override): BN layers stay
+        # in eval mode (frozen running stats) during training while convs
+        # still receive gradients. The `train` flag below only gates BN —
+        # gradient freezing is handled separately by stop_gradient.
+        train = train and not self.norm_eval
         t1 = train and self.frozen_stages < 1
 
         # stem

@@ -28,17 +28,20 @@ from ..registry import ROI_HEAD
 
 def encode_gt_of_rois(rois, gt_boxes):
     """gt boxes -> roi canonical frame (proposal_target_layer.py):
-    translate by -roi_xyz, rotate xy by -roi_ry, heading = wrapped
-    (gt_ry - roi_ry) flipped into [-pi/2, pi/2]."""
+    translate by -roi_xyz, rotate xy by -roi_ry, dims residual to the roi
+    dims (reference roi_head_template.py:54 subtracts rois[:, :, :6] —
+    center AND dims), heading = wrapped (gt_ry - roi_ry) flipped into
+    [-pi/2, pi/2]. Residual dims keep decode's `rcnn_reg + roi_dims`
+    consistent with the loss target."""
     ct = gt_boxes[..., :3] - rois[..., :3]
     ry = rois[..., 6]
     ct = box_ops.rotate_points_along_z(ct, -ry)
+    dims = gt_boxes[..., 3:6] - rois[..., 3:6]
     rel = gt_boxes[..., 6] - ry
     rel = jnp.mod(rel + jnp.pi, 2 * jnp.pi) - jnp.pi
     flip = jnp.abs(rel) > jnp.pi / 2
     rel = jnp.where(flip, rel - jnp.sign(rel) * jnp.pi, rel)
-    return jnp.concatenate(
-        [ct, gt_boxes[..., 3:6], rel[..., None]], axis=-1)
+    return jnp.concatenate([ct, dims, rel[..., None]], axis=-1)
 
 
 def assign_targets(rois, roi_labels, gt_boxes, gt_classes, gt_valid, cfg):

@@ -45,7 +45,17 @@ class TwoStageDetector(nn.Module):
         return build_from_cfg(dict(self.roi_head), ROI_HEAD)
 
     def __call__(self, example, train: bool = True):
-        rets, batch = self.single_det(example, train=train)
+        # freeze=True (reference two_stage.py: single_det.freeze()) stops
+        # gradients AND BN stat updates on the first stage during fine-tune.
+        rets, batch = self.single_det(
+            example, train=train and not self.freeze)
+        if self.freeze:
+            rets = jax.tree_util.tree_map(jax.lax.stop_gradient, rets)
+            batch = {
+                k: (jax.lax.stop_gradient(v)
+                    if isinstance(v, jnp.ndarray) else v)
+                for k, v in batch.items()
+            }
         # first-stage proposals (static [B, max_out] per task, merged)
         test_cfg = dict(self.test_cfg or {})
         props = self.single_det.predict(
@@ -87,11 +97,16 @@ class TwoStageDetector(nn.Module):
         # first-stage module (its loss only uses static head methods)
         from ..roi_heads.roi_head import assign_targets
 
-        first = dict(self.first_stage_cfg)
-        first.pop("pretrained", None)
-        single = builder.build_detector(
-            first, train_cfg=self.train_cfg, test_cfg=self.test_cfg)
-        one_total, ldict = single.loss(rets["first_stage"], batch)
+        if self.freeze:
+            # frozen first stage contributes no loss term (reference
+            # freeze() detaches it from the training objective)
+            one_total, ldict = 0.0, {}
+        else:
+            first = dict(self.first_stage_cfg)
+            first.pop("pretrained", None)
+            single = builder.build_detector(
+                first, train_cfg=self.train_cfg, test_cfg=self.test_cfg)
+            one_total, ldict = single.loss(rets["first_stage"], batch)
         rh = self._roi_head()
         gt = batch["gt_boxes_and_cls"]  # [B, G, 8] (7 box + class, 1-based)
         gt_valid = gt[..., 3] > 0  # zero-padded rows have zero dims

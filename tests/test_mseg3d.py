@@ -168,3 +168,29 @@ def test_resnet_backbone_shapes():
     assert len(outs) == 4
     assert outs[0].shape == (2, 16, 24, 8)
     assert outs[3].shape == (2, 2, 3, 64)
+
+
+def test_hrnet_norm_eval_freezes_bn_stats():
+    """norm_eval=True (mmcv BaseModule.train() override): BN running stats
+    stay fixed during training-mode forwards; weights still get grads."""
+    from lidarseg3d_tpu.models import build_img_backbone
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 32, 32, 3)).astype(np.float32))
+    m = build_img_backbone(dict(type="HRNet", extra=TINY_HRNET,
+                                norm_eval=True))
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    _, mut = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    for b, a in zip(jax.tree_util.tree_leaves(variables["batch_stats"]),
+                    jax.tree_util.tree_leaves(mut["batch_stats"])):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    def loss_fn(params):
+        outs = m.apply({"params": params,
+                        "batch_stats": variables["batch_stats"]},
+                       x, train=True, mutable=False)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    g = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(grads))
+    assert g > 0 and np.isfinite(g)

@@ -328,3 +328,34 @@ def test_trainer_hooks(tmp_path):
     assert kinds[-1] == "after_run"
     # StopTraining after epoch 1 -> no second before_epoch
     assert kinds.count("after_epoch") == 1
+
+
+def test_stop_training_from_after_iter_breaks_immediately(tmp_path):
+    """StopTraining raised in after_iter ends the epoch's iteration loop
+    right away (ADVICE r2: the loop previously ran out the epoch)."""
+    from lidarseg3d_tpu.apis.train import (
+        TrainerHook, StopTraining, train_segmentor,
+    )
+    import logging
+
+    root = str(tmp_path)
+    write_fixture(root, seqs=("00",), frames=4)
+    ds = build_dataset(dataset_cfg(root, train=True))
+    loader = SegDataLoader(ds, batch_size=8, max_voxels=2000, max_points=1400,
+                           num_workers=1, drop_last=False, seed=0)
+    iters = []
+
+    class StopAtFirstIter(TrainerHook):
+        def after_iter(self, state, ldict, global_step):
+            iters.append(global_step)
+            raise StopTraining
+
+    model = build_detector(tiny_model_cfg())
+    train_segmentor(
+        model=model, loader=loader, input_shape=input_shape(),
+        optimizer_cfg=dict(type="adam", wd=0.01, fixed_wd=True),
+        lr_cfg=dict(lr_max=1e-3, moms=[0.95, 0.85]),
+        total_epochs=3, work_dir=str(tmp_path / "wd"),
+        logger=logging.getLogger("t"), hooks=[StopAtFirstIter()],
+    )
+    assert iters == [0]  # no second iteration ran anywhere

@@ -164,6 +164,43 @@ def test_two_stage_forward_loss_predict():
     assert np.isfinite(np.asarray(out["scores"])).all()
 
 
+def test_two_stage_freeze_stops_first_stage():
+    """freeze=True (reference single_det.freeze()): first stage gets no
+    gradients, contributes no loss term, and its BN stats don't update."""
+    cfg = two_stage_cfg()
+    cfg["freeze"] = True
+    model = build_detector(cfg)
+    ex = make_example(with_gt=True)
+    variables = model.init(jax.random.PRNGKey(0), ex, train=False)
+
+    def loss_fn(params):
+        v = {"params": params,
+             "batch_stats": variables.get("batch_stats", {})}
+        (rets, bat), mut = model.apply(
+            v, ex, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        loss, ld = model.loss(rets, bat)
+        return loss, (ld, mut)
+
+    (loss, (ld, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss))
+    assert set(ld) == {"rcnn_loss_cls", "rcnn_loss_reg", "loss"}
+    g_first = sum(
+        float(jnp.abs(l).sum())
+        for l in jax.tree_util.tree_leaves(grads["single_det"]))
+    g_roi = sum(
+        float(jnp.abs(l).sum())
+        for l in jax.tree_util.tree_leaves(grads["roi_head_mod"]))
+    assert g_first == 0.0 and g_roi > 0
+    # frozen first-stage BN stats unchanged
+    for path in ("single_det",):
+        before = jax.tree_util.tree_leaves(variables["batch_stats"][path])
+        after = jax.tree_util.tree_leaves(mut["batch_stats"][path])
+        for b, a in zip(before, after):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
 def test_roi_target_assignment_geometry():
     """A roi exactly on a gt gets IoU 1, canonical-frame residual 0, and
     cls label 1; a far roi gets label 0 and no fg flag."""
@@ -181,12 +218,40 @@ def test_roi_target_assignment_geometry():
     t = assign_targets(rois, rlab, gt, gcls, gval,
                        dict(REG_FG_THRESH=0.55))
     got = np.asarray(t["gt_of_rois"])[0, 0]
+    # residual encoding (roi_head_template.py:54 subtracts rois[:, :, :6]):
+    # exact-match roi -> zero residual center AND dims
     np.testing.assert_allclose(got[:3], 0.0, atol=1e-5)
-    np.testing.assert_allclose(got[3:6], [1.6, 3.2, 1.5], rtol=1e-5)
+    np.testing.assert_allclose(got[3:6], 0.0, atol=1e-5)
     np.testing.assert_allclose(got[6], 0.0, atol=1e-5)
     assert bool(t["reg_fg"][0, 0]) and not bool(t["reg_fg"][0, 1])
     assert float(t["cls_labels"][0, 0]) == 1.0
     assert float(t["cls_labels"][0, 1]) == 0.0
+
+
+def test_encode_decode_roundtrip():
+    """generate_predicted_boxes(encode_gt_of_rois(rois, gt)) must recover
+    gt exactly (mod pi heading symmetry) — catches encode/decode frame
+    mismatches like absolute-vs-residual dims."""
+    from lidarseg3d_tpu.models.roi_heads.roi_head import (
+        RoIHead, encode_gt_of_rois,
+    )
+
+    rng = np.random.RandomState(3)
+    rois = np.concatenate([
+        rng.uniform(-10, 10, (1, 8, 3)),
+        rng.uniform(0.8, 4.0, (1, 8, 3)),
+        rng.uniform(-np.pi, np.pi, (1, 8, 1)),
+    ], axis=-1).astype(np.float32)
+    gt = rois + np.concatenate([
+        rng.uniform(-0.4, 0.4, (1, 8, 3)),
+        rng.uniform(-0.2, 0.2, (1, 8, 3)),
+        rng.uniform(-0.3, 0.3, (1, 8, 1)),
+    ], axis=-1).astype(np.float32)
+    enc = encode_gt_of_rois(jnp.asarray(rois), jnp.asarray(gt))
+    dec = np.asarray(RoIHead.generate_predicted_boxes(jnp.asarray(rois), enc))
+    np.testing.assert_allclose(dec[..., :6], gt[..., :6], atol=1e-4)
+    dry = (dec[..., 6] - gt[..., 6] + np.pi / 2) % np.pi - np.pi / 2
+    np.testing.assert_allclose(dry, 0.0, atol=1e-4)
 
 
 def test_opposite_heading_flip():

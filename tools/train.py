@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--autoscale-lr", action="store_true",
                    help="scale lr_max by world device count / 8 "
                         "(reference tools/train.py --autoscale-lr)")
+    p.add_argument("--tb_log_dir", default=None,
+                   help="TensorBoard scalar log dir (default: off)")
+    p.add_argument("--profile_dir", default=None,
+                   help="jax.profiler trace dir (traces steps 10-14)")
     p.add_argument("--dist_coordinator", default=None,
                    help="host:port of process 0 (multi-host); also read "
                         "from JAX_COORDINATOR_ADDRESS")
@@ -174,6 +178,8 @@ def main():
         resume_from=args.resume_from,
         seed=args.seed or 0,
         init_hook=init_hook,
+        tb_log_dir=args.tb_log_dir,
+        profile_dir=args.profile_dir,
     )
 
 
