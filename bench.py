@@ -64,7 +64,10 @@ def main():
         ret, bat = model.apply(variables, e, train=False)
         return model.predict(ret, bat)["pred_point_sem_labels"]
 
-    def run(variables, ex):
+    def run(variables, ex, reps):
+        # reps is a TRACED scalar: a literal trip count makes XLA fully
+        # unroll the loop and compile REPS copies of the forward (measured
+        # 1237 s cold vs ~210 s for one copy — BENCH_r02 vs r03)
         def body(i, carry):
             e = dict(ex)
             e["input_shape"] = ishape
@@ -72,17 +75,17 @@ def main():
             e["voxels"] = e["voxels"] + (i % 2).astype(e["voxels"].dtype) * 1e-6
             return carry + fwd_labels(variables, e).sum()
 
-        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((), jnp.int32))
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int32))
 
     f = jax.jit(run)
     t0 = time.time()
-    v = int(f(variables, ex))  # compile + first run, full sync via value fetch
+    v = int(f(variables, ex, jnp.int32(REPS)))  # compile + first run
     compile_s = time.time() - t0
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        v = int(f(variables, ex))
+        v = int(f(variables, ex, jnp.int32(REPS)))
         times.append(time.time() - t0)
     per_scan = (min(times) - RPC_FLOOR_S) / REPS
     scans_per_sec = 1.0 / per_scan

@@ -140,6 +140,10 @@ def create_nuscenes_seg_infos(root, version="v1.0-trainval", nsweeps=1,
                 "ref_to_global": ref_to_global.astype(np.float32),
                 "timestamp": sd["timestamp"] / 1e6,
                 "sweeps": [],
+                # sequence bookkeeping for the tracking tools
+                # (tools/nusc_tracking.py needs per-scene reset points)
+                "scene_name": scene["name"],
+                "first": sample["prev"] == "",
             }
 
             if cam_chans:

@@ -100,6 +100,11 @@ def decode_frame(frame):
     cp = np.concatenate(cp_all, axis=0)
     labels = np.concatenate(labels_all, axis=0)
     return {
+        # vehicle->global pose + time, for the tracking tools
+        # (tools/waymo_tracking.py transforms boxes into the global frame)
+        "veh_to_global": np.asarray(
+            frame.pose.transform, np.float64).reshape(4, 4),
+        "timestamp": frame.timestamp_micros / 1e6,
         "lidars": {
             "points_xyz": points[:, :3],
             "points_feature": points[:, 3:5],
@@ -211,7 +216,9 @@ def create_semanticwaymo_infos(root, out_dir=None, nsweeps=1, split="training",
             obj["token"] = token
             with open(path, "wb") as f:
                 pickle.dump(obj, f)
-            infos.append({"token": token, "path": path})
+            infos.append({"token": token, "path": path,
+                          "context": frame.context.name,
+                          "timestamp": frame.timestamp_micros / 1e6})
     info_path = osp.join(
         out_dir, f"infos_{split}_{nsweeps:02d}sweeps_segdet.pkl"
     )

@@ -34,7 +34,11 @@ def write_detection_objects(detections, output_dir,
         labels = np.asarray(det["label_preds"], np.int64).reshape(-1)
         valid = np.asarray(
             det.get("valid", np.ones(len(boxes), bool))).reshape(-1)
-        for b, s, lab, ok in zip(boxes, scores, labels, valid):
+        # tracking submissions additionally carry per-box track ids
+        # (reference _create_pd_detection(..., tracking=True))
+        tids = det.get("tracking_ids")
+        for i, (b, s, lab, ok) in enumerate(zip(boxes, scores, labels,
+                                                valid)):
             if not ok:
                 continue
             o = objects.objects.add()
@@ -47,6 +51,8 @@ def write_detection_objects(detections, output_dir,
             o.object.box.CopyFrom(box)
             o.score = float(s)
             o.object.type = _LABEL_TO_TYPE.get(int(lab), 0)
+            if tids is not None:
+                o.object.id = str(int(tids[i]))
     out = osp.join(output_dir or ".", filename)
     os.makedirs(osp.dirname(osp.abspath(out)), exist_ok=True)
     with open(out, "wb") as f:

@@ -59,7 +59,8 @@ class BatchedPointCrossAttention(nn.Module):
 
 
 class SFFMDecoderLayer(nn.Module):
-    """Post-norm decoder layer (context_module.py:184-252, dropout=0)."""
+    """Post-norm decoder layer (context_module.py:184-252, dropout=0).
+    LayerNorm eps pinned to 1e-5 (torch default) for reference parity."""
 
     d_model: int
     n_head: int
@@ -71,16 +72,16 @@ class SFFMDecoderLayer(nn.Module):
         m2 = nn.MultiHeadDotProductAttention(
             num_heads=self.n_head, qkv_features=self.d_model
         )(memory, memory)
-        memory = nn.LayerNorm()(memory + m2)
+        memory = nn.LayerNorm(epsilon=1e-5)(memory + m2)
         # point -> embeddings cross attention
         t2 = BatchedPointCrossAttention(self.d_model, self.n_head)(
             tgt, memory, memory
         )
-        tgt = nn.LayerNorm()(tgt + t2)
+        tgt = nn.LayerNorm(epsilon=1e-5)(tgt + t2)
         t2 = TorchLinear(self.d_model)(
             jax.nn.relu(TorchLinear(self.n_ffn)(tgt))
         )
-        tgt = nn.LayerNorm()(tgt + t2)
+        tgt = nn.LayerNorm(epsilon=1e-5)(tgt + t2)
         return tgt, memory
 
 
@@ -102,7 +103,7 @@ class SemanticFeatureFusionModule(nn.Module):
             tgt, memory = SFFMDecoderLayer(
                 self.d_model, self.n_head, self.n_ffn
             )(tgt, memory)
-        return nn.LayerNorm()(tgt)
+        return nn.LayerNorm(epsilon=1e-5)(tgt)
 
 
 @POINT_HEADS.register_module

@@ -94,14 +94,14 @@ class TransformerEncoderLayerPreNorm(nn.Module):
     @nn.compact
     def __call__(self, src):
         # src: [T, L, E] (tokens = P points, batch = voxels)
-        x = nn.LayerNorm()(src)
+        x = nn.LayerNorm(epsilon=1e-5)(src)
         q = TorchLinear(self.d_model)(x)
         k = TorchLinear(self.d_model)(x)
         v = TorchLinear(self.d_model)(x)
         attn = tiny_token_attention(q, k, v, self.nhead)
         attn = TorchLinear(self.d_model)(attn)  # out projection
         src = src + attn
-        x = nn.LayerNorm()(src)
+        x = nn.LayerNorm(epsilon=1e-5)(src)
         x = TorchLinear(self.dim_feedforward)(x)
         x = jax.nn.relu(x)
         x = TorchLinear(self.d_model)(x)

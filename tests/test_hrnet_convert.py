@@ -85,3 +85,60 @@ def test_converter_shape_mismatch_raises():
     sd[k0] = rng.standard_normal((7, 3, 3, 3)).astype(np.float32)  # wrong Cout
     with pytest.raises(AssertionError):
         convert(sd, TINY)
+
+
+def _manifest_sd(width, value_fn):
+    """Synthetic state_dict in the AUTHORITATIVE mmcv key order + shapes
+    (tests/data/hrnetv2_w{width}_manifest.json, extracted from the
+    reference torch HRNet module — tools/parity/make_hrnet_manifest.py)."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        f"hrnetv2_w{width}_manifest.json")
+    with open(path) as f:
+        man = json.load(f)
+    sd = {}
+    for key, shape in man["entries"]:
+        sd[key] = value_fn(key, tuple(shape))
+    return sd
+
+
+@pytest.mark.parametrize("width", [18, 48])
+def test_real_checkpoint_manifest(width):
+    """The converter's sequential flax-order pairing must map the REAL
+    mmcv hrnetv2 checkpoint layout (full key order + shapes, 1525 tensors)
+    with every per-layer shape assert passing. Set HRNET_W18_PTH /
+    HRNET_W48_PTH to additionally run the conversion on a real downloaded
+    checkpoint's tensors."""
+    from convert_hrnet_checkpoint import HRNET_EXTRA
+
+    pth = os.environ.get(f"HRNET_W{width}_PTH")
+    if pth:
+        import torch
+
+        sd = torch.load(pth, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd)
+        sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    else:
+        rng = np.random.default_rng(width)
+        sd = _manifest_sd(
+            width,
+            lambda k, s: (np.abs(rng.standard_normal(s))
+                          if "running_var" in k
+                          else rng.standard_normal(s)).astype(np.float32))
+    out = convert(sd, HRNET_EXTRA[width])
+
+    # the stem's first torch conv must land at the flax stem conv
+    _, variables, records = record_flax_layout(HRNET_EXTRA[width])
+    k0, p0 = records[0]
+    assert k0 == "conv"
+    w0 = next(v for k, v in sd.items() if k == "conv1.weight")
+    np.testing.assert_array_equal(
+        _get_in(out["params"], tuple(p0) + ("kernel",)),
+        w0.transpose(2, 3, 1, 0))
+    # and the LAST bn group must land at the last recorded flax bn
+    last_bn_path = next(p for k, p in reversed(records) if k == "bn")
+    bn_keys = [k for k in sd if k.endswith("running_mean")]
+    np.testing.assert_array_equal(
+        _get_in(out["batch_stats"], tuple(last_bn_path) + ("mean",)),
+        sd[bn_keys[-1]])
