@@ -1,17 +1,23 @@
 #!/usr/bin/env python
-"""Benchmark: MSeg3D flagship (SemanticKITTI config: ImprovedMeanVFE +
-UNetSCN3D r=2 + HRNet-w18 + fusion head, V=131k, one 384x1280 camera)
-full-scan inference throughput on one chip, plus unpipelined p50 latency.
+"""Benchmark: MSeg3D flagship full-scan inference throughput on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Two configs are measured:
+- semnusc 6-cam (nuScenes MSeg3D: 6x 640x960 cameras, V=120k) — printed
+  first as an auxiliary JSON line;
+- semkitti 1-cam (SemanticKITTI MSeg3D: 1x 384x1280 camera, V=131k) — the
+  primary metric, printed LAST as the driver's ONE JSON line.
+
 vs_baseline is measured against the north-star target of >=10 full-scan
 MSeg3D inferences/sec/chip (BASELINE.json / BASELINE.md).
 
 Measurement method (see .claude/skills/verify/SKILL.md): the axon relay
 adds ~25 ms per host<->device roundtrip and block_until_ready can return
 early, so throughput amortizes REPS forwards inside one jit program via
-lax.fori_loop and fetches a scalar once. p50 latency is measured separately
-as dispatch->scalar-fetch per single forward, RPC floor subtracted.
+lax.fori_loop and fetches a scalar once. The loop trip count is passed as
+a TRACED scalar: a literal trip count makes XLA fully unroll the loop and
+compile REPS copies of the forward (measured 1237 s cold vs ~210 s for
+one copy — BENCH_r02 vs r03). p50 latency is measured separately as
+dispatch->scalar-fetch per single forward, RPC floor subtracted.
 """
 
 import json
@@ -24,30 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 RPC_FLOOR_S = 0.0255
+REPS = 10
 
 
-def main():
+def bench_model(model, ex, ishape, measure_p50=True):
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-
-    from __graft_entry__ import (
-        _mseg3d_model_cfg, _synthetic_mseg3d_batch, PCR, VSZ,
-    )
-    from lidarseg3d_tpu.models import build_detector
-
-    # realistic single-scan shapes (SemanticKITTI-like density at 0.2 m grid)
-    V, N = 131072, 122880
-    grid = np.round(
-        (np.asarray(PCR[3:]) - np.asarray(PCR[:3])) / np.asarray(VSZ)
-    ).astype(int)
-    ishape = (int(grid[2]) + 1, int(grid[1]), int(grid[0]))
-
-    model = build_detector(_mseg3d_model_cfg(ratio=2))
-    batch = _synthetic_mseg3d_batch(1, V, N, seed=0)
-    ex = {k: jnp.asarray(v) for k, v in batch.items() if k != "metadata"}
 
     @jax.jit
     def init(rng, arrs):
@@ -58,16 +46,11 @@ def main():
     variables = init(jax.random.PRNGKey(0), ex)
     jax.block_until_ready(variables)
 
-    REPS = 10
-
     def fwd_labels(variables, e):
         ret, bat = model.apply(variables, e, train=False)
         return model.predict(ret, bat)["pred_point_sem_labels"]
 
     def run(variables, ex, reps):
-        # reps is a TRACED scalar: a literal trip count makes XLA fully
-        # unroll the loop and compile REPS copies of the forward (measured
-        # 1237 s cold vs ~210 s for one copy — BENCH_r02 vs r03)
         def body(i, carry):
             e = dict(ex)
             e["input_shape"] = ishape
@@ -88,22 +71,77 @@ def main():
         v = int(f(variables, ex, jnp.int32(REPS)))
         times.append(time.time() - t0)
     per_scan = (min(times) - RPC_FLOOR_S) / REPS
+
+    p50_ms = None
+    if measure_p50:
+        @jax.jit
+        def one(variables, ex):
+            e = dict(ex)
+            e["input_shape"] = ishape
+            return fwd_labels(variables, e).sum()
+
+        int(one(variables, ex))  # compile
+        lats = []
+        for _ in range(7):
+            t0 = time.time()
+            int(one(variables, ex))
+            lats.append(time.time() - t0 - RPC_FLOOR_S)
+        p50_ms = float(np.percentile(lats, 50) * 1000)
+    return compile_s, per_scan, p50_ms, v
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from __graft_entry__ import (
+        _mseg3d_model_cfg, _synthetic_mseg3d_batch, PCR, VSZ,
+    )
+    from lidarseg3d_tpu.models import build_detector
+
+    grid = np.round(
+        (np.asarray(PCR[3:]) - np.asarray(PCR[:3])) / np.asarray(VSZ)
+    ).astype(int)
+    ishape = (int(grid[2]) + 1, int(grid[1]), int(grid[0]))
+
+    # --- auxiliary: semnusc MSeg3D, 6 cameras at 640x960 (configs/
+    # semanticnusc/MSeg3D/semnusc_avgvfe_...e12.py: img_resized_shape
+    # (960, 640), capacity V=120k/N=100k, 17 classes, 0.1 m grid) ---
+    PCR6 = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    VSZ6 = (0.1, 0.1, 0.2)
+    grid6 = np.round(
+        (np.asarray(PCR6[3:]) - np.asarray(PCR6[:3])) / np.asarray(VSZ6)
+    ).astype(int)
+    ishape6 = (int(grid6[2]) + 1, int(grid6[1]), int(grid6[0]))
+    V6, N6 = 120000, 100000
+    model6 = build_detector(
+        _mseg3d_model_cfg(num_class=17, ratio=2, img_hw=(640, 960),
+                          pcr=PCR6, vsz=VSZ6))
+    batch6 = _synthetic_mseg3d_batch(1, V6, N6, img_hw=(640, 960), ncam=6,
+                                     seed=0, pcr=PCR6, vsz=VSZ6)
+    ex6 = {k: jnp.asarray(v) for k, v in batch6.items() if k != "metadata"}
+    c6, s6, _, v6 = bench_model(model6, ex6, ishape6, measure_p50=False)
+    sys.stderr.write(
+        f"semnusc 6cam: compile {c6:.1f}s; per-scan {s6*1000:.1f} ms "
+        f"(checksum {v6})\n")
+    print(json.dumps({
+        "metric": "semnusc_mseg3d_6cam_fullscan_inference_throughput",
+        "value": round(1.0 / s6, 3),
+        "unit": "scans/sec/chip",
+        "vs_baseline": round(1.0 / s6 / 10.0, 3),
+        "compile_s": round(c6, 1),
+    }), flush=True)
+
+    # --- primary: semkitti MSeg3D, 1 camera at 384x1280 ---
+    V, N = 131072, 122880
+    model = build_detector(_mseg3d_model_cfg(ratio=2))
+    batch = _synthetic_mseg3d_batch(1, V, N, seed=0)
+    ex = {k: jnp.asarray(v) for k, v in batch.items() if k != "metadata"}
+    compile_s, per_scan, p50_ms, v = bench_model(model, ex, ishape)
     scans_per_sec = 1.0 / per_scan
-
-    # unpipelined p50 latency: single forward, dispatch -> scalar fetch
-    @jax.jit
-    def one(variables, ex):
-        e = dict(ex)
-        e["input_shape"] = ishape
-        return fwd_labels(variables, e).sum()
-
-    int(one(variables, ex))  # compile
-    lats = []
-    for _ in range(7):
-        t0 = time.time()
-        int(one(variables, ex))
-        lats.append(time.time() - t0 - RPC_FLOOR_S)
-    p50_ms = float(np.percentile(lats, 50) * 1000)
 
     sys.stderr.write(
         f"compile {compile_s:.1f}s; per-scan {per_scan*1000:.1f} ms; "
@@ -115,6 +153,8 @@ def main():
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / 10.0, 3),
         "p50_latency_ms": round(p50_ms, 1),
+        "compile_s": round(compile_s, 1),
+        "semnusc_6cam_scans_per_sec": round(1.0 / s6, 3),
     }))
 
 

@@ -31,9 +31,16 @@ def run_eval(
     speed_test=False,
 ):
     mesh = mesh_lib.make_mesh()
-    eval_step = jax.jit(make_eval_step(model, input_shape))
     tta = bool(test_cfg and test_cfg.get("tta_flag", False))
     num_tta = int(test_cfg.get("num_tta_tranforms", 4)) if tta else 1
+    # fetch ONLY what the merge path consumes: the [B,N,C] fp32 softmax
+    # (~11 MB/frame over the axon relay) is needed for TTA averaging only;
+    # plain eval moves just the int32 label rows (<0.5 MB/frame). Selecting
+    # keys inside the jit lets XLA dead-code-eliminate the rest.
+    base_step = make_eval_step(model, input_shape)
+    keys = ("point_softmax",) if tta else ("pred_point_sem_labels",)
+    eval_step = jax.jit(
+        lambda state, batch: {k: base_step(state, batch)[k] for k in keys})
 
     detections = {}
     latencies = []

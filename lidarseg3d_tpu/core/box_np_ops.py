@@ -81,7 +81,10 @@ def boxes_bev_collide(boxes_a, boxes_b):
 
 def random_flip_both(boxes, points, rng):
     """CenterPoint's random_flip_both: independent x-axis and y-axis flips
-    with p=0.5 each (core/sampler/preprocess.py)."""
+    with p=0.5 each (core/sampler/preprocess.py:803-832). Boxes may carry
+    BEV velocity at columns 7:9 ([x,y,z,dx,dy,dz,yaw,vx,vy] — this repo
+    keeps yaw at 6); flips negate the matching velocity component."""
+    with_vel = len(boxes) and boxes.shape[-1] >= 9
     if rng.random() < 0.5:  # flip over x axis: y -> -y
         points = points.copy()
         points[:, 1] = -points[:, 1]
@@ -89,6 +92,8 @@ def random_flip_both(boxes, points, rng):
             boxes = boxes.copy()
             boxes[:, 1] = -boxes[:, 1]
             boxes[:, 6] = -boxes[:, 6]
+            if with_vel:
+                boxes[:, 8] = -boxes[:, 8]
     if rng.random() < 0.5:  # flip over y axis: x -> -x
         points = points.copy()
         points[:, 0] = -points[:, 0]
@@ -96,10 +101,16 @@ def random_flip_both(boxes, points, rng):
             boxes = boxes.copy()
             boxes[:, 0] = -boxes[:, 0]
             boxes[:, 6] = np.pi - boxes[:, 6]
+            if with_vel:
+                boxes[:, 7] = -boxes[:, 7]
     return boxes, points
 
 
 def global_rotation(boxes, points, rotation, rng):
+    """Global z rotation. Velocity (cols 7:9 when present) rotates with the
+    scene — NOTE: the reference's global_rotation_v2 (preprocess.py:842-851)
+    leaves velocity unrotated, a fidelity gap vs the original CenterPoint;
+    we keep the physically consistent transform."""
     angle = rng.uniform(rotation[0], rotation[1])
     c, s = np.cos(angle), np.sin(angle)
     rot = np.array([[c, -s], [s, c]], points.dtype)
@@ -109,16 +120,22 @@ def global_rotation(boxes, points, rotation, rng):
         boxes = boxes.copy()
         boxes[:, :2] = boxes[:, :2] @ rot.T
         boxes[:, 6] += angle
+        if boxes.shape[-1] >= 9:
+            boxes[:, 7:9] = boxes[:, 7:9] @ rot.T
     return boxes, points
 
 
 def global_scaling(boxes, points, min_scale, max_scale, rng):
+    """Scales positions, dims, and velocity (reference global_scaling_v2
+    scales every column but the rotation, preprocess.py:835-839)."""
     s = rng.uniform(min_scale, max_scale)
     points = points.copy()
     points[:, :3] *= s
     if len(boxes):
         boxes = boxes.copy()
         boxes[:, :6] *= s
+        if boxes.shape[-1] >= 9:
+            boxes[:, 7:9] *= s
     return boxes, points
 
 

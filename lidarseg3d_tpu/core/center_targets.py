@@ -48,12 +48,22 @@ def draw_gaussian(heatmap, center, radius):
 def assign_center_targets(gt_boxes, gt_classes, task_class_ids, grid_hw,
                           voxel_size, pc_range, out_factor=8, max_objs=100,
                           min_overlap=0.5):
-    """gt_boxes: [N, 7] (x, y, z, dx, dy, dz, yaw); gt_classes: [N] global
+    """gt_boxes: [N, 7] (x, y, z, dx, dy, dz, yaw) or [N, 9] with BEV
+    velocity appended (x, y, z, dx, dy, dz, yaw, vx, vy — note: this repo
+    keeps yaw at column 6 everywhere; the reference's nuScenes layout puts
+    vel at 6:8 and yaw last, preprocess.py:401-405); gt_classes: [N] global
     class ids; task_class_ids: list per task of the class ids it owns.
 
     Returns per-task dicts: hm [H, W, C_t], ind/mask/cat [max_objs],
-    anno_box [max_objs, 8] = (dx, dy, z, log dims, sin yaw, cos yaw)."""
+    anno_box [max_objs, 8] = (dx, dy, z, log dims, sin yaw, cos yaw) or,
+    for 9-dim boxes, [max_objs, 10] with (vx, vy) before the rotation —
+    the reference's velocity target order (preds concat reg/height/dim/
+    vel/rot, center_head.py:261-263)."""
     H, W = grid_hw
+    gt_boxes = np.asarray(gt_boxes, np.float32).reshape(len(gt_boxes), -1) \
+        if len(gt_boxes) else np.zeros((0, 7), np.float32)
+    with_vel = gt_boxes.shape[-1] >= 9
+    D = 10 if with_vel else 8
     out = []
     for cls_ids in task_class_ids:
         C = len(cls_ids)
@@ -61,7 +71,7 @@ def assign_center_targets(gt_boxes, gt_classes, task_class_ids, grid_hw,
         ind = np.zeros((max_objs,), np.int64)
         mask = np.zeros((max_objs,), bool)
         cat = np.zeros((max_objs,), np.int64)
-        anno = np.zeros((max_objs, 8), np.float32)
+        anno = np.zeros((max_objs, D), np.float32)
         m = 0
         for box, gcls in zip(gt_boxes, gt_classes):
             if gcls not in cls_ids or m >= max_objs:
@@ -83,8 +93,11 @@ def assign_center_targets(gt_boxes, gt_classes, task_class_ids, grid_hw,
             ind[m] = cj * W + ci
             mask[m] = True
             cat[m] = tcls
-            anno[m] = [cx - ci, cy - cj, z, np.log(dx), np.log(dy),
-                       np.log(dz), np.sin(yaw), np.cos(yaw)]
+            row = [cx - ci, cy - cj, z, np.log(dx), np.log(dy), np.log(dz)]
+            if with_vel:
+                row += [box[7], box[8]]
+            row += [np.sin(yaw), np.cos(yaw)]
+            anno[m] = row
             m += 1
         out.append({"hm": hm, "ind": ind, "mask": mask, "cat": cat,
                     "anno_box": anno})

@@ -76,10 +76,18 @@ def _process_make_batch(dataset, batch_idx, epoch, step, seed, max_voxels,
 
 
 class EpochSampler:
-    """Deterministic per-epoch shuffling with per-host sharding."""
+    """Deterministic per-epoch shuffling with per-host sharding.
+
+    ``flags`` (optional, [n] ints) makes it group-aware like the
+    reference's DistributedGroupSampler (det3d/datasets/loader/
+    sampler.py:139): every per-host batch is drawn from a SINGLE group —
+    each group's (shuffled) indices are padded to whole batches, the
+    batch list is shuffled globally, and batches are dealt round-robin to
+    hosts. Only consulted when shuffling (training); eval keeps dataset
+    order."""
 
     def __init__(self, n, batch_size, shuffle=True, seed=0, num_hosts=1,
-                 host_id=0, drop_last=True):
+                 host_id=0, drop_last=True, flags=None):
         self.n = n
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -87,8 +95,32 @@ class EpochSampler:
         self.num_hosts = num_hosts
         self.host_id = host_id
         self.drop_last = drop_last
+        self.flags = None
+        if flags is not None:
+            flags = np.asarray(flags)
+            if len(np.unique(flags)) > 1:
+                self.flags = flags
+
+    def _grouped_epoch_indices(self, epoch):
+        rng = np.random.default_rng(self.seed + epoch)
+        chunks = []
+        for g in np.unique(self.flags):
+            idx = rng.permutation(np.flatnonzero(self.flags == g))
+            nb = -(-len(idx) // self.batch_size)
+            idx = np.resize(idx, nb * self.batch_size)  # wrap-pad the tail
+            chunks.extend(idx.reshape(-1, self.batch_size))
+        order = rng.permutation(len(chunks))
+        chunks = [chunks[i] for i in order]
+        # equal per-host batch counts (repeat leading batches if needed)
+        nb_host = -(-len(chunks) // self.num_hosts)
+        while len(chunks) < nb_host * self.num_hosts:
+            chunks.append(chunks[len(chunks) % max(1, len(chunks))])
+        mine = chunks[self.host_id::self.num_hosts]
+        return np.stack(mine)
 
     def epoch_indices(self, epoch):
+        if self.shuffle and self.flags is not None:
+            return self._grouped_epoch_indices(epoch)
         idx = np.arange(self.n)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
@@ -108,6 +140,12 @@ class EpochSampler:
         return idx.reshape(-1, self.batch_size)
 
     def steps_per_epoch(self):
+        if self.shuffle and self.flags is not None:
+            nb = sum(
+                -(-int(np.sum(self.flags == g)) // self.batch_size)
+                for g in np.unique(self.flags)
+            )
+            return -(-nb // self.num_hosts)
         per_host = -(-self.n // self.num_hosts)
         if self.drop_last:
             return per_host // self.batch_size
@@ -127,7 +165,7 @@ class SegDataLoader:
         self.max_points = max_points
         self.sampler = EpochSampler(
             len(dataset), batch_size, shuffle, seed, num_hosts, host_id,
-            drop_last,
+            drop_last, flags=getattr(dataset, "flag", None),
         )
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch

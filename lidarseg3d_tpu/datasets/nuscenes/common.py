@@ -47,7 +47,7 @@ class NuScenesTables:
 
     TABLES = [
         "sample", "sample_data", "scene", "calibrated_sensor", "ego_pose",
-        "sensor", "lidarseg",
+        "sensor", "lidarseg", "sample_annotation", "instance", "category",
     ]
 
     def __init__(self, root, version="v1.0-trainval"):
@@ -68,6 +68,10 @@ class NuScenesTables:
         self.lidarseg_by_sd = {
             r["sample_data_token"]: r for r in self._tables["lidarseg"]
         }
+        # annotations grouped by sample (the devkit's sample["anns"])
+        self.anns_by_sample = {}
+        for r in self._tables["sample_annotation"]:
+            self.anns_by_sample.setdefault(r["sample_token"], []).append(r)
 
     def get(self, table, token):
         return self._index[table][token]
@@ -84,6 +88,85 @@ def _sd_global_from_sensor(ts, sd):
     sensor_to_ego = transform_matrix(cs["translation"], cs["rotation"])
     ego_to_global = transform_matrix(ep["translation"], ep["rotation"])
     return ego_to_global @ sensor_to_ego, cs
+
+
+# nuScenes category -> 10-class detection name (public mapping; cf.
+# det3d/datasets/nuscenes/semanticnusc_common.py general_to_detection)
+GENERAL_TO_DETECTION = {
+    "human.pedestrian.adult": "pedestrian",
+    "human.pedestrian.child": "pedestrian",
+    "human.pedestrian.wheelchair": "ignore",
+    "human.pedestrian.stroller": "ignore",
+    "human.pedestrian.personal_mobility": "ignore",
+    "human.pedestrian.police_officer": "pedestrian",
+    "human.pedestrian.construction_worker": "pedestrian",
+    "animal": "ignore",
+    "vehicle.car": "car",
+    "vehicle.motorcycle": "motorcycle",
+    "vehicle.bicycle": "bicycle",
+    "vehicle.bus.bendy": "bus",
+    "vehicle.bus.rigid": "bus",
+    "vehicle.truck": "truck",
+    "vehicle.construction": "construction_vehicle",
+    "vehicle.emergency.ambulance": "ignore",
+    "vehicle.emergency.police": "ignore",
+    "vehicle.trailer": "trailer",
+    "movable_object.barrier": "barrier",
+    "movable_object.trafficcone": "traffic_cone",
+    "movable_object.pushable_pullable": "ignore",
+    "movable_object.debris": "ignore",
+    "static_object.bicycle_rack": "ignore",
+}
+
+
+def _annotation_velocity(ts, ann, max_time_diff=1.5):
+    """Global-frame box velocity by centered difference of neighbouring
+    annotations (devkit nuscenes.box_velocity semantics); [3], nan when
+    inestimable."""
+    has_prev, has_next = ann["prev"] != "", ann["next"] != ""
+    if not has_prev and not has_next:
+        return np.full(3, np.nan)
+    first = ts.get("sample_annotation", ann["prev"]) if has_prev else ann
+    last = ts.get("sample_annotation", ann["next"]) if has_next else ann
+    pos_first = np.asarray(first["translation"], np.float64)
+    pos_last = np.asarray(last["translation"], np.float64)
+    t_first = ts.get("sample", first["sample_token"])["timestamp"] / 1e6
+    t_last = ts.get("sample", last["sample_token"])["timestamp"] / 1e6
+    dt = t_last - t_first
+    if dt > max_time_diff or dt <= 0:
+        return np.full(3, np.nan)
+    return (pos_last - pos_first) / dt
+
+
+def _sample_gt_boxes(ts, sample, ref_to_global, filter_zero=True):
+    """Detection gt for one sample, in the LIDAR_TOP frame.
+
+    Returns (gt_boxes [N, 9], gt_names [N]) in THIS repo's layout
+    [x, y, z, dx(l), dy(w), dz(h), yaw, vx, vy] — yaw stays at column 6
+    everywhere here; the reference packs [locs, wlh, vx, vy, -yaw-pi/2]
+    (semanticnusc_common.py:488-498). nan velocities become 0."""
+    g2r = np.linalg.inv(ref_to_global)
+    boxes, names = [], []
+    for ann in ts.anns_by_sample.get(sample["token"], []):
+        cat = ts.get("category",
+                     ts.get("instance", ann["instance_token"])
+                     ["category_token"])["name"]
+        name = GENERAL_TO_DETECTION.get(cat, "ignore")
+        if filter_zero and (
+                ann.get("num_lidar_pts", 0) + ann.get("num_radar_pts", 0)
+                <= 0):
+            continue
+        c = g2r[:3, :3] @ np.asarray(ann["translation"]) + g2r[:3, 3]
+        R = g2r[:3, :3] @ quaternion_to_rotation(ann["rotation"])
+        yaw = np.arctan2(R[1, 0], R[0, 0])
+        w, l, h = ann["size"]
+        v = _annotation_velocity(ts, ann)
+        v = np.where(np.isfinite(v), v, 0.0)
+        v_l = (g2r[:3, :3] @ v)[:2]
+        boxes.append([c[0], c[1], c[2], l, w, h, yaw, v_l[0], v_l[1]])
+        names.append(name)
+    return (np.asarray(boxes, np.float32).reshape(-1, 9),
+            np.asarray(names, dtype=object))
 
 
 def create_nuscenes_seg_infos(root, version="v1.0-trainval", nsweeps=1,
@@ -145,6 +228,13 @@ def create_nuscenes_seg_infos(root, version="v1.0-trainval", nsweeps=1,
                 "scene_name": scene["name"],
                 "first": sample["prev"] == "",
             }
+
+            # detection gt (velocity included) when annotations exist
+            if ts.anns_by_sample:
+                gt_boxes, gt_names = _sample_gt_boxes(ts, sample,
+                                                      ref_to_global)
+                info["gt_boxes"] = gt_boxes
+                info["gt_names"] = gt_names
 
             if cam_chans:
                 cams_from_global, cam_intrinsics, cam_paths = {}, {}, {}

@@ -27,7 +27,9 @@ from ..registry import PIPELINES
 
 @PIPELINES.register_module
 class LoadDetAnnotations:
-    """Read gt boxes from the frame object (converter annotations)."""
+    """Read gt boxes from the frame object (Waymo converter annotations)
+    or directly from the info row (nuScenes infos carry 9-dim
+    [x,y,z,dx,dy,dz,yaw,vx,vy] boxes from _sample_gt_boxes)."""
 
     def __init__(self, **kwargs):
         pass
@@ -35,13 +37,19 @@ class LoadDetAnnotations:
     def __call__(self, sample, info):
         obj = sample.get("waymo_obj") or sample.get("frame_obj")
         anns = (obj or {}).get("annotations", {})
+        boxes = anns.get("gt_boxes")
+        names = anns.get("gt_names")
+        if boxes is None and isinstance(info, dict) and "gt_boxes" in info:
+            boxes, names = info["gt_boxes"], info["gt_names"]
+        if boxes is None:
+            boxes = np.zeros((0, 7))
+            names = np.zeros((0,), dtype=object)
+        boxes = np.asarray(boxes, np.float32)
+        D = boxes.shape[-1] if boxes.ndim == 2 and boxes.size else (
+            boxes.shape[-1] if boxes.ndim == 2 else 7)
         sample["det_annotations"] = {
-            "gt_boxes": np.asarray(
-                anns.get("gt_boxes", np.zeros((0, 7))), np.float32
-            ).reshape(-1, 7),
-            "gt_names": np.asarray(
-                anns.get("gt_names", np.zeros((0,), dtype=object))
-            ).reshape(-1),
+            "gt_boxes": boxes.reshape(-1, D),
+            "gt_names": np.asarray(names).reshape(-1),
         }
         return sample, info
 
@@ -65,7 +73,9 @@ class DBSampler:
         self._min_points = min_points
 
     def sample_all(self, gt_boxes, gt_names, rng):
-        placed_boxes = [np.asarray(gt_boxes, np.float32).reshape(-1, 7)]
+        gt_boxes = np.asarray(gt_boxes, np.float32)
+        D = gt_boxes.shape[-1] if gt_boxes.ndim == 2 else 7
+        placed_boxes = [gt_boxes.reshape(-1, D)]
         out_boxes, out_names, out_points = [], [], []
         for cls, quota in self._groups.items():
             have = int(np.sum(gt_names == cls))
@@ -83,7 +93,13 @@ class DBSampler:
                 if taken >= need:
                     break
                 cand = cands[int(i)]
-                box = np.asarray(cand["box"], np.float32).reshape(1, 7)
+                box = np.asarray(cand["box"], np.float32).reshape(1, -1)
+                if box.shape[-1] < D:
+                    # db entries store 7-dim boxes; sampled (static) objects
+                    # get zero velocity in a 9-dim pipeline
+                    box = np.concatenate(
+                        [box, np.zeros((1, D - box.shape[-1]), np.float32)],
+                        axis=-1)
                 cur = np.concatenate(placed_boxes, axis=0)
                 if cur.size and bnp.boxes_bev_collide(box, cur).any():
                     continue
@@ -229,7 +245,7 @@ class DetAssignLabel:
         max_gt = self.max_objs
         gtc = np.zeros((max_gt, 8), np.float32)
         n = min(len(boxes), max_gt)
-        gtc[:n, :7] = boxes[:n]
+        gtc[:n, :7] = boxes[:n, :7]  # RoI head refines geometry only
         gtc[:n, 7] = classes[:n]
         sample["gt_boxes_and_cls"] = gtc
         return sample, info

@@ -16,6 +16,7 @@ from ...ops import sparse as sp
 from ..registry import BACKBONES
 from ..sparse_modules import (
     SparseBasicBlock,
+    SparseBasicBlockStack,
     SparseConvBNReLU,
 )
 
@@ -71,28 +72,24 @@ class UNetSCN3D(nn.Module):
 
         blk = lambda c, **kw: SparseConvBNReLU(c, **kw)
 
-        # ---- encoder ----
+        # ---- encoder (block pairs scanned: compiled once per stage) ----
         x = blk(16 * r, conv_type="subm")(st_in, rb_subm1, train=train)  # conv_input
-        x_conv1 = SparseBasicBlock(16 * r)(x, rb_subm1, train=train)
-        x_conv1 = SparseBasicBlock(16 * r)(x_conv1, rb_subm1, train=train)
+        x_conv1 = SparseBasicBlockStack(16 * r, n=2)(x, rb_subm1, train=train)
 
         x = blk(32 * r, conv_type="spconv", padding=1)(
             x_conv1, rb_down2, out_struct=s2, rulebook_t=rb_inv2, train=train
         )
-        x_conv2 = SparseBasicBlock(32 * r)(x, rb_subm2, train=train)
-        x_conv2 = SparseBasicBlock(32 * r)(x_conv2, rb_subm2, train=train)
+        x_conv2 = SparseBasicBlockStack(32 * r, n=2)(x, rb_subm2, train=train)
 
         x = blk(64 * r, conv_type="spconv", padding=1)(
             x_conv2, rb_down3, out_struct=s3, rulebook_t=rb_inv3, train=train
         )
-        x_conv3 = SparseBasicBlock(64 * r)(x, rb_subm3, train=train)
-        x_conv3 = SparseBasicBlock(64 * r)(x_conv3, rb_subm3, train=train)
+        x_conv3 = SparseBasicBlockStack(64 * r, n=2)(x, rb_subm3, train=train)
 
         x = blk(64 * r, conv_type="spconv", padding=(0, 1, 1))(
             x_conv3, rb_down4, out_struct=s4, rulebook_t=rb_inv4, train=train
         )
-        x_conv4 = SparseBasicBlock(64 * r)(x, rb_subm4, train=train)
-        x_conv4 = SparseBasicBlock(64 * r)(x_conv4, rb_subm4, train=train)
+        x_conv4 = SparseBasicBlockStack(64 * r, n=2)(x, rb_subm4, train=train)
 
         out = {}
         if self._cfg("RETURN_ENCODED_TENSOR", False):

@@ -232,17 +232,25 @@ class CenterHead(nn.Module):
 
     def get_loss(self, rets, targets):
         """targets: per-task dicts with hm [B,H,W,C], ind/mask/cat [B,M],
-        anno_box [B,M,D] (assign_center_targets)."""
+        anno_box [B,M,D] (assign_center_targets). With a 'vel' head the
+        prediction order is reg/height/dim/vel/rot (center_head.py:261-263);
+        a 10-dim velocity target against a vel-less head drops cols 6:8
+        (reference's `remove vel target`, center_head.py:267)."""
         total = 0.0
         ldict = {}
         for ti, (ret, tgt) in enumerate(zip(rets, targets)):
             hm = jax.nn.sigmoid(ret["hm"])
             hm_loss = fast_focal_loss(hm, tgt["hm"], tgt["ind"], tgt["mask"],
                                       tgt["cat"])
-            box_pred = jnp.concatenate(
-                [ret["reg"], ret["height"], ret["dim"], ret["rot"]], axis=-1
-            )
-            loc = reg_loss(box_pred, tgt["anno_box"], tgt["ind"], tgt["mask"])
+            parts = [ret["reg"], ret["height"], ret["dim"]]
+            if "vel" in ret:
+                parts.append(ret["vel"])
+            parts.append(ret["rot"])
+            box_pred = jnp.concatenate(parts, axis=-1)
+            target = tgt["anno_box"]
+            if "vel" not in ret and target.shape[-1] == 10:
+                target = target[..., [0, 1, 2, 3, 4, 5, 8, 9]]
+            loc = reg_loss(box_pred, target, tgt["ind"], tgt["mask"])
             cw = jnp.asarray(self.code_weights[: loc.shape[0]])
             loc_loss = jnp.sum(loc * cw)
             total = total + hm_loss + self.weight * loc_loss
@@ -252,12 +260,20 @@ class CenterHead(nn.Module):
 
     @staticmethod
     def decode(rets, voxel_size, pc_range, out_factor=8, k=100,
-               score_threshold=0.1, nms_iou=0.5, max_out=83):
-        """Per-task top-K decode + rotated BEV NMS.
+               score_threshold=0.1, nms_iou=0.5, max_out=83,
+               nms_type="rotated", min_radius=None):
+        """Per-task top-K decode + BEV NMS.
 
-        Returns list of dicts(box3d [max_out, 7], scores, labels, valid)."""
+        nms_type: "rotated" (iou3d semantics) or "circle" (CenterPoint
+        circle_nms, center-distance gate; reference center_head.py:473-476
+        with per-task min_radius from test_cfg). With a 'vel' head, each
+        task dict additionally carries velocity [B, max_out, 2]
+        (center_head.py:403-417).
+
+        Returns list of dicts(box3d [max_out, 7], scores, labels, valid
+        [, velocity])."""
         outs = []
-        for ret in rets:
+        for ti, ret in enumerate(rets):
             hm = jax.nn.sigmoid(ret["hm"])
             B, H, W, C = hm.shape
             flat = hm.reshape(B, H * W * C)
@@ -284,17 +300,32 @@ class CenterHead(nn.Module):
                 [x, y, height, dim[..., 0], dim[..., 1], dim[..., 2], yaw],
                 axis=-1,
             )
+            vel = pick(ret["vel"]) if "vel" in ret else None
+
+            radius = None
+            if nms_type == "circle":
+                radius = (min_radius[ti] if isinstance(
+                    min_radius, (list, tuple)) else min_radius)
 
             def one(b7, sc):
-                bev = jnp.stack(
-                    [b7[:, 0], b7[:, 1], b7[:, 3], b7[:, 4], b7[:, 6]], -1)
-                sel, valid = box_ops.nms_bev(bev, sc, nms_iou, max_out)
+                if nms_type == "circle":
+                    sel, valid = box_ops.circle_nms(
+                        b7[:, :2], sc, radius, max_out)
+                else:
+                    bev = jnp.stack(
+                        [b7[:, 0], b7[:, 1], b7[:, 3], b7[:, 4], b7[:, 6]],
+                        -1)
+                    sel, valid = box_ops.nms_bev(bev, sc, nms_iou, max_out)
                 sel_c = jnp.clip(sel, 0, k - 1)
                 return (b7[sel_c], sc[sel_c],
                         valid & (sc[sel_c] > score_threshold), sel_c)
 
             b, s, v, sel = jax.vmap(one)(boxes7, scores)
             labels = jnp.take_along_axis(cls, sel, axis=1)
-            outs.append({"box3d": b, "scores": s, "labels": labels,
-                         "valid": v})
+            out = {"box3d": b, "scores": s, "labels": labels, "valid": v}
+            if vel is not None:
+                out["velocity"] = jnp.take_along_axis(
+                    vel, jnp.broadcast_to(sel[..., None], (B, max_out, 2)),
+                    axis=1)
+            outs.append(out)
         return outs

@@ -67,7 +67,12 @@ class SFFMDecoderLayer(nn.Module):
     n_ffn: int
 
     @nn.compact
-    def __call__(self, tgt, memory):
+    def __call__(self, carry, _=None):
+        # scan-body signature: carry = (tgt, memory); params/stats stacked
+        # on a leading n_layer axis by nn.scan (compile the layer ONCE
+        # instead of n_layer times — the SFFM was the single largest piece
+        # of the flagship's compile graph)
+        tgt, memory = carry
         # memory self-attention
         m2 = nn.MultiHeadDotProductAttention(
             num_heads=self.n_head, qkv_features=self.d_model
@@ -82,7 +87,7 @@ class SFFMDecoderLayer(nn.Module):
             jax.nn.relu(TorchLinear(self.n_ffn)(tgt))
         )
         tgt = nn.LayerNorm(epsilon=1e-5)(tgt + t2)
-        return tgt, memory
+        return (tgt, memory), None
 
 
 class SemanticFeatureFusionModule(nn.Module):
@@ -99,10 +104,15 @@ class SemanticFeatureFusionModule(nn.Module):
         e1 = TorchLinear(self.d_model)(sem_emb_camera)
         e2 = TorchLinear(self.d_model)(sem_emb_lidar)
         memory = jnp.concatenate([e1, e2], axis=1)  # [B, 2*ncls, E]
-        for _ in range(self.n_layer):
-            tgt, memory = SFFMDecoderLayer(
-                self.d_model, self.n_head, self.n_ffn
-            )(tgt, memory)
+        ScanLayers = nn.scan(
+            SFFMDecoderLayer,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.n_layer,
+        )
+        (tgt, memory), _ = ScanLayers(
+            self.d_model, self.n_head, self.n_ffn, name="SFFMDecoderLayer_0"
+        )((tgt, memory))
         return nn.LayerNorm(epsilon=1e-5)(tgt)
 
 

@@ -80,6 +80,10 @@ class VoxelNet(nn.Module):
             score_threshold=cfg.get("score_threshold", 0.1),
             nms_iou=cfg.get("nms_iou_threshold", 0.5),
             max_out=cfg.get("max_out", 83),
+            # circle NMS (nusc configs: circular_nms + per-task min_radius,
+            # reference center_head.py:473-476)
+            nms_type="circle" if cfg.get("circular_nms") else "rotated",
+            min_radius=cfg.get("min_radius"),
         )
         offsets, off = [], 0
         for t in dict(self.bbox_head).get("tasks", [{}] * len(outs)):
@@ -93,4 +97,7 @@ class VoxelNet(nn.Module):
             "valid": jnp.concatenate([o["valid"] for o in outs], 1),
             "tasks": outs,
         }
+        if all("velocity" in o for o in outs):
+            merged["velocity"] = jnp.concatenate(
+                [o["velocity"] for o in outs], 1)
         return merged

@@ -104,6 +104,44 @@ class SparseConvBNReLU(nn.Module):
         return sp.SparseTensor(structure=out.structure, features=jax.nn.relu(f))
 
 
+class _SparseBasicBlockBody(nn.Module):
+    """nn.scan body: carry = features; structure/rulebook/train broadcast."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, feats, structure, rulebook, train):
+        st = sp.SparseTensor(structure=structure, features=feats)
+        out = SparseBasicBlock(self.features)(st, rulebook, train=train)
+        return out.features, None
+
+
+class SparseBasicBlockStack(nn.Module):
+    """n consecutive SparseBasicBlocks compiled ONCE via nn.scan.
+
+    The UNet repeats identical residual blocks per stage (scn_unet.py:
+    98-123); tracing/compiling each separately dominated cold-compile time
+    on TPU, so the repeats run as a weight-stacked scan (params/batch_stats
+    carry a leading n axis under 'blocks/SparseBasicBlock_0')."""
+
+    features: int
+    n: int = 2
+
+    @nn.compact
+    def __call__(self, st: sp.SparseTensor, rulebook, train: bool = True):
+        Body = nn.scan(
+            _SparseBasicBlockBody,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=self.n,
+        )
+        feats, _ = Body(self.features, name="blocks")(
+            st.features, st.structure, rulebook, train
+        )
+        return sp.SparseTensor(structure=st.structure, features=feats)
+
+
 class SparseBasicBlock(nn.Module):
     """Residual block of two subm convs (scn_unet.py:34-69)."""
 

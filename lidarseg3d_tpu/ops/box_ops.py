@@ -134,6 +134,34 @@ def nms_bev(boxes, scores, iou_threshold=0.5, max_out=128):
     return picked, pmask
 
 
+def circle_nms(centers, scores, min_radius, max_out=83):
+    """CenterPoint circle NMS: suppress by SQUARED center distance
+    <= min_radius (the reference compares dist^2 against the raw threshold,
+    core/utils/circle_nms_jit.py:25-26 — semantics kept verbatim).
+
+    centers: [N, 2]; returns (indices [max_out], valid [max_out])."""
+    d2 = jnp.sum(
+        (centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+
+    def body(i, state):
+        alive, picked, pmask = state
+        score_masked = jnp.where(alive, scores, -jnp.inf)
+        j = jnp.argmax(score_masked)
+        ok = score_masked[j] > -jnp.inf
+        picked = picked.at[i].set(jnp.where(ok, j, -1))
+        pmask = pmask.at[i].set(ok)
+        suppress = d2[j] <= min_radius
+        alive = alive & ~suppress & ~(jnp.arange(len(scores)) == j)
+        alive = alive & ok
+        return alive, picked, pmask
+
+    n = centers.shape[0]
+    state0 = (jnp.ones((n,), bool), jnp.full((max_out,), -1, jnp.int32),
+              jnp.zeros((max_out,), bool))
+    _, picked, pmask = jax.lax.fori_loop(0, min(max_out, n), body, state0)
+    return picked, pmask
+
+
 def boxes_iou_3d(boxes_a, boxes_b):
     """3D IoU matrix [Na, Nb] for [N, 7] (x, y, z, dx, dy, dz, yaw).
 

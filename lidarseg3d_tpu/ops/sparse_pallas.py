@@ -185,6 +185,13 @@ def _dw_many(table_rows, gidx_k, gout_rows, dtype, interpret, meta, cin):
     return dw
 
 
+def _rebase_row(gidx_row, b, v_in, old_miss):
+    """[K, 1, V] global-flat indices of batch row b -> row-local flat
+    indices into [v_in] (miss -> v_in)."""
+    g = gidx_row - b * v_in
+    return jnp.where(gidx_row == old_miss, v_in, g)
+
+
 def fused_conv(features, weights, gidx, gidx_t=None, *, mode="bf16",
                interpret=False):
     """Sparse rulebook conv on the fused Pallas kernel, with custom VJP.
@@ -196,8 +203,27 @@ def fused_conv(features, weights, gidx, gidx_t=None, *, mode="bf16",
     mode: "bf16" (production: bf16 gathers/GEMMs, fp32 accumulation) or
           "fp32" (Precision.HIGHEST, used by oracle tests).
     Returns [B, Vout, Cout] in features.dtype.
+
+    B > 1 runs one kernel call PER ROW: a batched [C, B*V] table overflows
+    the VMEM budget (forcing Cin splits that stream the doubled table
+    multiple times) and its per-block metadata overflows SMEM (forcing
+    column chunks) — measured 28% slower per scan than row-at-a-time at
+    B=2 (STATUS r2 gap 4). Per-row calls keep each row's table fully
+    VMEM-resident; dW contributions sum across rows via autodiff.
     """
     B, Vin, Cin = features.shape
+    if B > 1:
+        Vout = gidx.shape[2]
+        n_in, n_out = B * Vin, B * Vout
+        rows = []
+        for b in range(B):
+            g_b = _rebase_row(gidx[:, b:b + 1], b, Vin, n_in)
+            gt_b = (None if gidx_t is None
+                    else _rebase_row(gidx_t[:, b:b + 1], b, Vout, n_out))
+            rows.append(fused_conv(
+                features[b:b + 1], weights, g_b, gt_b, mode=mode,
+                interpret=interpret))
+        return jnp.concatenate(rows, axis=0)
     K, _, Cout = weights.shape
     Vout = gidx.shape[2]
     n_in, n_out = B * Vin, B * Vout

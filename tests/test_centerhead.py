@@ -119,3 +119,98 @@ def test_voxelnet_forward_loss_decode():
     assert dets["tasks"][0]["box3d"].shape[-1] == 7
     assert dets["box3d_lidar"].shape[-1] == 7
     assert np.isfinite(np.asarray(dets["box3d_lidar"])).all()
+
+
+def test_velocity_targets_and_loss_roundtrip():
+    """9-dim gt boxes produce 10-dim anno_box with (vx, vy) before the
+    rotation (reference preprocess.py:401-405 order), and a vel-headed
+    CenterHead consumes them; a vel-less head drops cols 6:8."""
+    boxes = np.array([[1.0, 2.0, 0.3, 2.0, 4.0, 1.5, 0.4, 3.0, -1.0]],
+                     np.float32)
+    tgts = assign_center_targets(
+        boxes, np.array([0]), [[0]], grid_hw=(20, 20),
+        voxel_size=VSZ, pc_range=PCR, out_factor=8, max_objs=10)
+    anno = tgts[0]["anno_box"]
+    assert anno.shape == (10, 10)
+    np.testing.assert_allclose(anno[0, 6:8], [3.0, -1.0])
+    np.testing.assert_allclose(anno[0, 8:], [np.sin(0.4), np.cos(0.4)],
+                               rtol=1e-6)
+
+    from lidarseg3d_tpu.models.bbox_heads.center_head import CenterHead
+
+    rng = np.random.default_rng(0)
+    H = W = 20
+    ret_vel = {
+        "hm": jnp.asarray(rng.standard_normal((1, H, W, 1)), jnp.float32),
+        "reg": jnp.asarray(rng.standard_normal((1, H, W, 2)), jnp.float32),
+        "height": jnp.asarray(rng.standard_normal((1, H, W, 1)), jnp.float32),
+        "dim": jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32),
+        "rot": jnp.asarray(rng.standard_normal((1, H, W, 2)), jnp.float32),
+        "vel": jnp.asarray(rng.standard_normal((1, H, W, 2)), jnp.float32),
+    }
+    tgt = {k: jnp.asarray(v)[None] for k, v in tgts[0].items()}
+    head = CenterHead(tasks=(dict(num_class=1, class_names=["car"]),),
+                      code_weights=(1.0,) * 10)
+    loss, ld = head.get_loss([ret_vel], [tgt])
+    assert np.isfinite(float(loss))
+    # vel-less head on the same 10-dim targets: cols 6:8 dropped
+    ret7 = {k: v for k, v in ret_vel.items() if k != "vel"}
+    head7 = CenterHead(tasks=(dict(num_class=1, class_names=["car"]),),
+                       code_weights=(1.0,) * 8)
+    loss7, _ = head7.get_loss([ret7], [tgt])
+    assert np.isfinite(float(loss7))
+
+    # decode returns per-box velocity picked at the same top-k positions
+    outs = CenterHead.decode([ret_vel], voxel_size=VSZ[:2], pc_range=PCR[:2],
+                             out_factor=8, k=16, max_out=8)
+    assert outs[0]["velocity"].shape == (1, 8, 2)
+    assert np.isfinite(np.asarray(outs[0]["velocity"])).all()
+
+
+def test_circle_nms_suppresses_by_center_distance():
+    from lidarseg3d_tpu.ops.box_ops import circle_nms
+
+    centers = jnp.asarray([[0.0, 0.0], [0.5, 0.0], [5.0, 5.0]])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    # reference semantics: suppress when SQUARED distance <= thresh
+    sel, valid = circle_nms(centers, scores, min_radius=1.0, max_out=3)
+    sel, valid = np.asarray(sel), np.asarray(valid)
+    assert sel[0] == 0 and valid[0]
+    assert valid.sum() == 2 and 2 in sel[valid.astype(bool)].tolist()
+    # tighter gate keeps all three
+    sel2, valid2 = circle_nms(centers, scores, min_radius=0.2, max_out=3)
+    assert np.asarray(valid2).sum() == 3
+
+
+def test_velocity_augmentation_consistency():
+    """Flips/rotation/scaling co-transform the BEV velocity columns."""
+    from lidarseg3d_tpu.core import box_np_ops as bnp
+
+    boxes = np.array([[1.0, 2.0, 0.0, 2, 4, 1.5, 0.3, 2.0, 1.0]], np.float32)
+    pts = np.zeros((4, 4), np.float32)
+
+    b, _ = bnp.random_flip_both(boxes, pts, rng=FlipXThenNo())
+    np.testing.assert_allclose(b[0, 7:9], [2.0, -1.0])
+
+    class RotRng:
+        def uniform(self, a, b):
+            return np.pi / 2
+
+    b, _ = bnp.global_rotation(boxes, pts, [np.pi / 2, np.pi / 2], RotRng())
+    np.testing.assert_allclose(b[0, 7:9], [-1.0, 2.0], atol=1e-6)
+
+    class ScaleRng:
+        def uniform(self, a, b):
+            return 2.0
+
+    b, _ = bnp.global_scaling(boxes, pts, 2.0, 2.0, ScaleRng())
+    np.testing.assert_allclose(b[0, 7:9], [4.0, 2.0])
+
+
+class FlipXThenNo:
+    def __init__(self):
+        self.calls = 0
+
+    def random(self):
+        self.calls += 1
+        return 0.1 if self.calls == 1 else 0.9

@@ -262,21 +262,28 @@ def o_unet_eval(dense_np, act_mask, P, S, R=1):
     def cbr(i):
         return P[f"SparseConvBNReLU_{i}"], S[f"SparseConvBNReLU_{i}"]
 
-    def blk(i):
+    def blk(i):  # decoder lateral blocks (unscanned)
         return P[f"SparseBasicBlock_{i}"], S[f"SparseBasicBlock_{i}"]
 
+    def enc_blk(stage, j):  # encoder pairs are nn.scan-stacked
+        pick = lambda t: jax.tree.map(
+            lambda a: np.asarray(a)[j],
+            t[f"SparseBasicBlockStack_{stage}"]["blocks"][
+                "SparseBasicBlock_0"])
+        return pick(P), pick(S)
+
     x = t_conv_bn_relu_eval(x0, m1, *cbr(0), kind="subm")
-    xc1 = t_basic_block_eval(x, m1, *blk(0))
-    xc1 = t_basic_block_eval(xc1, m1, *blk(1))
+    xc1 = t_basic_block_eval(x, m1, *enc_blk(0, 0))
+    xc1 = t_basic_block_eval(xc1, m1, *enc_blk(0, 1))
     x = t_conv_bn_relu_eval(xc1, m2, *cbr(1), kind="spconv")
-    xc2 = t_basic_block_eval(x, m2, *blk(2))
-    xc2 = t_basic_block_eval(xc2, m2, *blk(3))
+    xc2 = t_basic_block_eval(x, m2, *enc_blk(1, 0))
+    xc2 = t_basic_block_eval(xc2, m2, *enc_blk(1, 1))
     x = t_conv_bn_relu_eval(xc2, m3, *cbr(2), kind="spconv")
-    xc3 = t_basic_block_eval(x, m3, *blk(4))
-    xc3 = t_basic_block_eval(xc3, m3, *blk(5))
+    xc3 = t_basic_block_eval(x, m3, *enc_blk(2, 0))
+    xc3 = t_basic_block_eval(xc3, m3, *enc_blk(2, 1))
     x = t_conv_bn_relu_eval(xc3, m4, *cbr(3), kind="spconv", pad=(0, 1, 1))
-    xc4 = t_basic_block_eval(x, m4, *blk(6))
-    xc4 = t_basic_block_eval(xc4, m4, *blk(7))
+    xc4 = t_basic_block_eval(x, m4, *enc_blk(3, 0))
+    xc4 = t_basic_block_eval(xc4, m4, *enc_blk(3, 1))
 
     def ur(x_lat, x_bot, mask, pblk, sblk, pmid, smid, c_mid):
         xt = t_basic_block_eval(x_lat, mask, pblk, sblk)
@@ -285,14 +292,14 @@ def o_unet_eval(dense_np, act_mask, P, S, R=1):
         red = cat.view(1, c_mid, cat.shape[1] // c_mid, *cat.shape[2:]).sum(2)
         return (xm + red) * mask
 
-    f4 = ur(xc4, xc4, m4, *blk(8), *cbr(4), c_mid=64 * R)
+    f4 = ur(xc4, xc4, m4, *blk(0), *cbr(4), c_mid=64 * R)
     up4 = t_conv_bn_relu_eval(f4, m3, *cbr(5), kind="inverseconv",
                               pad=(0, 1, 1))
-    f3 = ur(xc3, up4, m3, *blk(9), *cbr(6), c_mid=64 * R)
+    f3 = ur(xc3, up4, m3, *blk(1), *cbr(6), c_mid=64 * R)
     up3 = t_conv_bn_relu_eval(f3, m2, *cbr(7), kind="inverseconv")
-    f2 = ur(xc2, up3, m2, *blk(10), *cbr(8), c_mid=32 * R)
+    f2 = ur(xc2, up3, m2, *blk(2), *cbr(8), c_mid=32 * R)
     up2 = t_conv_bn_relu_eval(f2, m1, *cbr(9), kind="inverseconv")
-    f1 = ur(xc1, up2, m1, *blk(11), *cbr(10), c_mid=16 * R)
+    f1 = ur(xc1, up2, m1, *blk(3), *cbr(10), c_mid=16 * R)
     return t_conv_bn_relu_eval(f1, m1, *cbr(11), kind="subm")
 
 
@@ -440,8 +447,9 @@ def o_sffm(geo, emb_cam, emb_lidar, P, n_layer=2, n_head=4):
     e1 = o_linear(emb_cam, P["TorchLinear_1"])
     e2 = o_linear(emb_lidar, P["TorchLinear_2"])
     mem = np.concatenate([e1, e2], axis=1)
+    stacked = P["SFFMDecoderLayer_0"]  # nn.scan: leading n_layer axis
     for li in range(n_layer):
-        L = P[f"SFFMDecoderLayer_{li}"]
+        L = jax.tree.map(lambda a: np.asarray(a)[li], stacked)
         m2 = o_mhdpa(mem, L["MultiHeadDotProductAttention_0"], n_head)
         mem = o_layernorm(mem + m2, L["LayerNorm_0"])
         t2 = o_cross_attention(tgt, mem, L["BatchedPointCrossAttention_0"],

@@ -192,21 +192,28 @@ def test_unet_matches_torch_dense_oracle():
     def cbr(i):
         return P[f"SparseConvBNReLU_{i}"]
 
+    def enc_blk(stage, j):
+        """Encoder blocks are nn.scan-stacked (SparseBasicBlockStack):
+        select block j's slice of the stage's [2, ...] stacked params."""
+        sub = P[f"SparseBasicBlockStack_{stage}"]["blocks"][
+            "SparseBasicBlock_0"]
+        return jax.tree.map(lambda a: np.asarray(a)[j], sub)
+
     x = t_conv_bn_relu(x0, m1, cbr(0), "subm")
-    xc1 = t_basic_block(x, m1, P["SparseBasicBlock_0"])
-    xc1 = t_basic_block(xc1, m1, P["SparseBasicBlock_1"])
+    xc1 = t_basic_block(x, m1, enc_blk(0, 0))
+    xc1 = t_basic_block(xc1, m1, enc_blk(0, 1))
 
     x = t_conv_bn_relu(xc1, m2, cbr(1), "spconv", (2, 2, 2), (1, 1, 1))
-    xc2 = t_basic_block(x, m2, P["SparseBasicBlock_2"])
-    xc2 = t_basic_block(xc2, m2, P["SparseBasicBlock_3"])
+    xc2 = t_basic_block(x, m2, enc_blk(1, 0))
+    xc2 = t_basic_block(xc2, m2, enc_blk(1, 1))
 
     x = t_conv_bn_relu(xc2, m3, cbr(2), "spconv", (2, 2, 2), (1, 1, 1))
-    xc3 = t_basic_block(x, m3, P["SparseBasicBlock_4"])
-    xc3 = t_basic_block(xc3, m3, P["SparseBasicBlock_5"])
+    xc3 = t_basic_block(x, m3, enc_blk(2, 0))
+    xc3 = t_basic_block(xc3, m3, enc_blk(2, 1))
 
     x = t_conv_bn_relu(xc3, m4, cbr(3), "spconv", (2, 2, 2), (0, 1, 1))
-    xc4 = t_basic_block(x, m4, P["SparseBasicBlock_6"])
-    xc4 = t_basic_block(xc4, m4, P["SparseBasicBlock_7"])
+    xc4 = t_basic_block(x, m4, enc_blk(3, 0))
+    xc4 = t_basic_block(xc4, m4, enc_blk(3, 1))
 
     def ur(x_lat, x_bot, mask, pblk, pmid, c_mid):
         xt = t_basic_block(x_lat, mask, pblk)
@@ -215,13 +222,14 @@ def test_unet_matches_torch_dense_oracle():
         red = cat.view(1, c_mid, cat.shape[1] // c_mid, *cat.shape[2:]).sum(2)
         return (xm + red) * mask
 
-    f4 = ur(xc4, xc4, m4, P["SparseBasicBlock_8"], cbr(4), 64 * R)
+    # decoder lateral blocks stay unscanned: SparseBasicBlock_0..3
+    f4 = ur(xc4, xc4, m4, P["SparseBasicBlock_0"], cbr(4), 64 * R)
     up4 = t_conv_bn_relu(f4, m3, cbr(5), "inverseconv", (2, 2, 2), (0, 1, 1))
-    f3 = ur(xc3, up4, m3, P["SparseBasicBlock_9"], cbr(6), 64 * R)
+    f3 = ur(xc3, up4, m3, P["SparseBasicBlock_1"], cbr(6), 64 * R)
     up3 = t_conv_bn_relu(f3, m2, cbr(7), "inverseconv", (2, 2, 2), (1, 1, 1))
-    f2 = ur(xc2, up3, m2, P["SparseBasicBlock_10"], cbr(8), 32 * R)
+    f2 = ur(xc2, up3, m2, P["SparseBasicBlock_2"], cbr(8), 32 * R)
     up2 = t_conv_bn_relu(f2, m1, cbr(9), "inverseconv", (2, 2, 2), (1, 1, 1))
-    f1 = ur(xc1, up2, m1, P["SparseBasicBlock_11"], cbr(10), 16 * R)
+    f1 = ur(xc1, up2, m1, P["SparseBasicBlock_3"], cbr(10), 16 * R)
     up1 = t_conv_bn_relu(f1, m1, cbr(11), "subm")
 
     # ---- compare every decoder stage at the stored site sets ----

@@ -145,3 +145,59 @@ def test_meta_consistency():
             idx = g[k, b * 128:(b + 1) * 128]
             for v in idx[idx != int(pc.MISS)]:
                 assert covered[k, v // 128], (b, k, v)
+
+
+def test_fused_conv_batched_rows(monkeypatch):
+    """B=2 fused_conv runs per-row kernel calls (VMEM/SMEM budgets) and
+    must match the per-row numpy reference + sum dW across rows."""
+    from lidarseg3d_tpu.ops import sparse_pallas as spz
+
+    V, grid = 512, (8, 12, 12)
+    Cin, Cout = 16, 8
+    rng = np.random.default_rng(5)
+    coords_rows, nums = [], []
+    for seed in (1, 2):
+        s = make_structure(V, grid, seed=seed, density=0.25)
+        coords_rows.append(np.asarray(s.coords)[0])
+        nums.append(int(s.num_voxels[0]))
+    struct = sp.build_structure(
+        jnp.asarray(np.stack(coords_rows)[None][0][None].repeat(1, 0)),
+        jnp.asarray(np.array([nums[0]], np.int32)), grid)
+    coords2 = jnp.asarray(np.stack(coords_rows))
+    struct2 = sp.build_structure(
+        coords2, jnp.asarray(np.array(nums, np.int32)), grid)
+    rb = sp.build_subm_rulebook(struct2, 3)  # [27, 2, V], miss = 2*V
+
+    feats = rng.normal(size=(2, V, Cin)).astype(np.float32)
+    for b in (0, 1):
+        feats[b, nums[b]:] = 0
+    W = (rng.normal(size=(27, Cin, Cout)) * 0.1).astype(np.float32)
+
+    def f(x, w):
+        return spz.fused_conv(x, w, rb, mode="fp32", interpret=True)
+
+    out = f(jnp.asarray(feats), jnp.asarray(W))
+    assert out.shape == (2, V, Cout)
+
+    # per-row reference on row-local indices
+    g = np.asarray(rb)
+    for b in (0, 1):
+        g_b = np.where(g[:, b] == 2 * V, int(pc.MISS), g[:, b] - b * V)
+        ref = ref_conv(feats[b], g_b, W, V)
+        np.testing.assert_allclose(np.asarray(out)[b], ref, atol=2e-4,
+                                   err_msg=f"row {b}")
+
+    # dW sums over rows; dX rows stay independent
+    def loss(x, w):
+        return jnp.sum(f(x, w) ** 2)
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(feats),
+                                            jnp.asarray(W))
+    assert np.isfinite(np.asarray(gw)).all()
+    gx0, gw0 = jax.grad(
+        lambda x, w: jnp.sum(spz.fused_conv(
+            x, w, jnp.asarray(np.where(g[:, :1] == 2 * V, V, g[:, :1])),
+            mode="fp32", interpret=True) ** 2),
+        argnums=(0, 1))(jnp.asarray(feats[:1]), jnp.asarray(W))
+    np.testing.assert_allclose(np.asarray(gx)[0], np.asarray(gx0)[0],
+                               rtol=1e-4, atol=1e-5)

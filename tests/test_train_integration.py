@@ -359,3 +359,31 @@ def test_stop_training_from_after_iter_breaks_immediately(tmp_path):
         logger=logging.getLogger("t"), hooks=[StopAtFirstIter()],
     )
     assert iters == [0]  # no second iteration ran anywhere
+
+
+def test_group_aware_sampler():
+    """flags: every batch from a single group; hosts get equal disjoint
+    batch counts (reference DistributedGroupSampler, sampler.py:139)."""
+    from lidarseg3d_tpu.datasets.loader import EpochSampler
+
+    rng = np.random.default_rng(0)
+    flags = rng.integers(0, 2, 37)
+    samplers = [
+        EpochSampler(37, batch_size=4, shuffle=True, seed=3, num_hosts=2,
+                     host_id=h, flags=flags)
+        for h in range(2)
+    ]
+    per_host = [s.epoch_indices(epoch=1) for s in samplers]
+    for batches in per_host:
+        for b in batches:
+            assert len(set(flags[b])) == 1, "mixed-group batch"
+    assert per_host[0].shape == per_host[1].shape
+    assert samplers[0].steps_per_epoch() == len(per_host[0])
+    # every sample appears somewhere (wrap-padding only duplicates)
+    seen = set(np.concatenate([p.ravel() for p in per_host]).tolist())
+    assert seen == set(range(37))
+    # uniform flags -> behaves exactly like the plain sampler
+    s_uni = EpochSampler(37, 4, shuffle=True, seed=3, flags=np.zeros(37))
+    s_none = EpochSampler(37, 4, shuffle=True, seed=3)
+    np.testing.assert_array_equal(s_uni.epoch_indices(0),
+                                  s_none.epoch_indices(0))
