@@ -1,12 +1,22 @@
-"""Real multi-PROCESS integration test (VERDICT round-1 item 3).
+"""Real multi-PROCESS integration test (VERDICT round-1 item 3; flagship
+coverage + de-flake in round 3).
 
 Launches two OS processes that jax.distributed.initialize against each
 other on CPU (2 virtual devices per process -> a 4-device global mesh),
-train a tiny SegNet in lockstep for 3 steps, run the device-histogram eval
-reduction, and save a process-0-guarded checkpoint. Asserts both processes
-see identical losses (lockstep SPMD), one finite mIoU, and exactly one
-checkpoint write. Reference equivalent: torch.distributed init_process_group
-+ DDP + rank-0 save (det3d/torchie/apis/env.py:13-48, trainer.py:346-360).
+train a tiny SegNet in lockstep for 3 steps AND one MSeg3D FLAGSHIP step
+(small HRNet, 2 cams — HRNet BN over B*ncam, image loss, fusion attention,
+mimic loss under the mesh), run the device-histogram eval reduction, and
+save a process-0-guarded checkpoint. Asserts both processes see identical
+losses (lockstep SPMD), one finite mIoU, and exactly one checkpoint write.
+Reference equivalent: torch.distributed init_process_group + DDP wrapping
+the whole SegMSeg3DNet + rank-0 save
+(det3d/torchie/apis/env.py:13-48, apis/train.py:345-352, trainer.py:346-360).
+
+De-flake vs round 2 (the suite-run timeout): the SegNet reader is the
+tiny MeanVFE variant, V/N halved, explicit cross-process phase barriers,
+and the subprocess cap raised to 2000 s. (A shared persistent compile
+cache was tried and REVERTED: warm-cache runs abort in gloo with
+cross-program collective size mismatches — see the worker docstring.)
 """
 
 import os
@@ -29,6 +39,11 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, os.environ["REPO"])
 import jax
 jax.config.update("jax_platforms", "cpu")
+# NOTE: deliberately NO shared persistent compile cache here. With warm
+# caches both processes race through executables and their gloo
+# collectives interleave across programs (observed: "Received data size
+# doesn't match expected size", SIGABRT) — cold compiles keep the
+# processes naturally phase-aligned and the run deterministic.
 
 from lidarseg3d_tpu.parallel.dist import init_distributed, is_main_process
 pid = int(os.environ["PROC_ID"])
@@ -49,8 +64,13 @@ from lidarseg3d_tpu.core.seg_metrics import confusion_hist_jax, per_class_iou
 from lidarseg3d_tpu.solver.optim import build_one_cycle_optimizer
 
 mesh = mesh_lib.make_mesh()
-V, N = 1024, 1024
-model = build_detector(_model_cfg(ratio=1))
+V, N = 512, 512
+# tiny SegNet: MeanVFE (the TransVFE encoder triples CPU compile time and
+# its semantics are covered by single-process tests)
+cfg = _model_cfg(ratio=1)
+cfg["reader"] = dict(type="MeanVoxelFeatureExtractor", num_input_features=4)
+cfg["backbone"]["num_input_features"] = 4
+model = build_detector(cfg)
 # per-host local batch: 2 rows (one per local device); different data per host
 batch = _synthetic_batch(2, V, N, seed=100 + pid, with_labels=True)
 ishape = _grid_shape()
@@ -88,9 +108,33 @@ miou = float(np.nanmean(per_class_iou(hist[1:, 1:])))
 ckdir = os.environ["CKDIR"]
 save_checkpoint(ckdir, state, 1)
 
+# hard phase barrier: with a WARM compile cache the processes race into
+# the next executable's collectives while the other still has this
+# phase's in flight, and gloo matches them by sequence -> size-mismatch
+# abort (seen only on cache-hit reruns; cold compiles acted as a barrier)
+jax.block_until_ready(state.params)
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("segnet_phase_done")
+
+# ---- MSeg3D FLAGSHIP step on the same global mesh ----
+from __graft_entry__ import _mseg3d_model_cfg, _synthetic_mseg3d_batch
+m2 = build_detector(_mseg3d_model_cfg(ratio=1, small_hrnet=True))
+b2 = _synthetic_mseg3d_batch(2, V, N, img_hw=(32, 64), ncam=2,
+                             seed=200 + pid, with_labels=True)
+db2 = example_to_device(b2, mesh)
+ex2 = dict(db2); ex2["input_shape"] = ishape
+state2 = create_train_state(m2, ex2, jax.random.PRNGKey(0), tx)
+state2 = mesh_lib.replicate_tree(state2, mesh)
+step2 = jax.jit(make_train_step(m2, tx, ishape))
+state2, ld2 = step2(state2, db2)
+mseg_losses = {k: float(jax.device_get(v)) for k, v in ld2.items()}
+jax.block_until_ready(state2.params)
+multihost_utils.sync_global_devices("mseg3d_phase_done")
+
 print("RESULT " + json.dumps({
     "pid": pid, "losses": losses, "hist_total": total, "miou": miou,
     "is_main": is_main_process(),
+    "mseg_losses": mseg_losses,
 }))
 """
 
@@ -127,7 +171,7 @@ def test_two_process_lockstep_training(tmp_path):
         ))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=1100)
+        out, err = p.communicate(timeout=2000)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
 
@@ -141,6 +185,12 @@ def test_two_process_lockstep_training(tmp_path):
     r1 = next(r for r in results if r["pid"] == 1)
     # lockstep SPMD: identical replicated losses on both hosts
     np.testing.assert_allclose(r0["losses"], r1["losses"], rtol=1e-5)
+    # MSeg3D flagship step: finite and lockstep across hosts
+    for k in ("out_ce_loss", "image_ce_loss", "out_mimic_loss"):
+        assert np.isfinite(r0["mseg_losses"][k]), r0["mseg_losses"]
+        np.testing.assert_allclose(
+            r0["mseg_losses"][k], r1["mseg_losses"][k], rtol=1e-5,
+            err_msg=k)
     # the device histogram covers the GLOBAL batch (both hosts' points)
     assert r0["hist_total"] == r1["hist_total"] and r0["hist_total"] > 0
     assert np.isfinite(r0["miou"])

@@ -217,3 +217,34 @@ def test_nusc_det_submission_json(tmp_path):
     w, x, y, z = box["rotation"]
     np.testing.assert_allclose(2 * np.arctan2(z, w), th, atol=1e-6)
     assert res["meta"]["use_lidar"] is True
+
+
+def test_run_det_eval_loop():
+    """apis/det_eval.run_det_eval: jitted decode over a loader, per-token
+    box dicts with velocity, ready for the submission writers."""
+    from lidarseg3d_tpu.apis.det_eval import run_det_eval
+    from lidarseg3d_tpu.apis.train import TrainState
+
+    model = build_detector(nusc_like_tiny_cfg())
+    ex = make_example(B=2)
+    variables = model.init(jax.random.PRNGKey(0), ex, train=False)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=())
+
+    host = {k: np.asarray(v) for k, v in ex.items()
+            if k not in ("input_shape", "det_targets")}
+    host["metadata"] = [{"token": "t0"}, {"token": "t1"}]
+
+    class OneBatchLoader:
+        def epoch(self, e):
+            yield dict(host)
+
+    dets = run_det_eval(model, state, OneBatchLoader(), ex["input_shape"],
+                        test_cfg=dict(model.test_cfg))
+    assert set(dets) == {"t0", "t1"}
+    d = dets["t0"]
+    assert d["box3d_lidar"].shape[-1] == 7
+    assert d["velocity"].shape == d["box3d_lidar"].shape[:1] + (2,)
+    assert d["scores"].shape == d["valid"].shape

@@ -138,6 +138,38 @@ def main():
         test_cfg["tta_flag"] = True
         test_cfg.setdefault("num_tta_tranforms", 4)
 
+    det_types = ("VoxelNet", "PointPillars", "TwoStageDetector")
+    if cfg.model["type"] in det_types:
+        # detection family: decode boxes, save the prediction pkl (input
+        # for tools/*_tracking.py), and write the dataset's official
+        # submission format
+        from lidarseg3d_tpu.apis.det_eval import run_det_eval, save_detections
+
+        dets = run_det_eval(model, state, loader, input_shape, logger,
+                            test_cfg=test_cfg)
+        os.makedirs(work_dir, exist_ok=True)
+        pkl = save_detections(dets, os.path.join(work_dir,
+                                                 "det_predictions.pkl"))
+        logger.info(f"wrote {pkl} ({len(dets)} frames)")
+        ds_type = ds_cfg["type"]
+        if ds_type == "SemanticWaymoDataset":
+            from lidarseg3d_tpu.datasets.waymo.det_submission import (
+                write_detection_objects,
+            )
+            out = write_detection_objects(dets, work_dir)
+            logger.info(f"wrote {out} (evaluate with the official "
+                        "compute_detection_metrics_main)")
+        elif ds_type == "SemanticNuscDataset":
+            from lidarseg3d_tpu.datasets.nuscenes.det_submission import (
+                detections_to_nusc_json,
+            )
+            infos = {i["token"]: i for i in dataset._infos}
+            out = detections_to_nusc_json(
+                dets, infos, os.path.join(work_dir, "nusc_det_results.json"))
+            logger.info(f"wrote {out} (evaluate with "
+                        "nuscenes.eval.detection.evaluate)")
+        return
+
     dets = run_eval(model, state, loader, input_shape, dataset, logger,
                     test_cfg=test_cfg, speed_test=args.speed_test)
     evaluate_dataset(dataset, dets, output_dir=work_dir, testset=args.testset,
