@@ -11,7 +11,11 @@ import numpy as np
 def pad_axis0(arr, size, fill=0):
     """Pad/truncate arr along axis 0 to `size`."""
     n = min(arr.shape[0], size)
-    out = np.full((size,) + arr.shape[1:], fill, dtype=arr.dtype)
+    shape = (size,) + arr.shape[1:]
+    # np.zeros = calloc (lazily-zeroed pages): measurably cheaper than
+    # np.full's explicit fill at 10 MB/frame capacity buffers
+    out = (np.zeros(shape, dtype=arr.dtype) if fill == 0
+           else np.full(shape, fill, dtype=arr.dtype))
     out[:n] = arr[:n]
     return out
 
@@ -49,35 +53,35 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
             v = min(fr["voxels"].shape[0], max_voxels)
             out["voxels"].append(pad_axis0(fr["voxels"], max_voxels))
             out["coordinates"].append(
-                pad_axis0(fr["coordinates"].astype(np.int32), max_voxels,
+                pad_axis0(np.asarray(fr["coordinates"], np.int32), max_voxels,
                           fill=-1)
             )
             out["num_points"].append(
-                pad_axis0(fr["num_points_per_voxel"].astype(np.int32),
+                pad_axis0(np.asarray(fr["num_points_per_voxel"], np.int32),
                           max_voxels)
             )
             out["num_voxels"].append(np.int32(v))
-        out["points"].append(pad_axis0(fr["points"].astype(np.float32), max_points))
+        out["points"].append(pad_axis0(np.asarray(fr["points"], np.float32), max_points))
         out["num_points_total"].append(np.int32(n))
         if has_images:
             out["images"].append(fr["images"])
-            cuv = pad_axis0(fr["points_cuv"].astype(np.float32), max_points)
+            cuv = pad_axis0(np.asarray(fr["points_cuv"], np.float32), max_points)
             out["points_cuv"].append(cuv)
             if "images_sem_labels" in fr:
                 out["images_sem_labels"].append(
-                    fr["images_sem_labels"].astype(np.int32)
+                    np.asarray(fr["images_sem_labels"], np.int32)
                 )
         if has_labels:
             out["voxel_sem_labels"].append(
                 pad_axis0(
-                    fr["voxel_sem_labels"].astype(np.int32), max_voxels,
+                    np.asarray(fr["voxel_sem_labels"], np.int32), max_voxels,
                     fill=ignore_label,
                 )
             )
         if has_plabels:
             out["point_sem_labels"].append(
                 pad_axis0(
-                    fr["point_sem_labels"].astype(np.int32), max_points,
+                    np.asarray(fr["point_sem_labels"], np.int32), max_points,
                     fill=ignore_label,
                 )
             )

@@ -108,6 +108,20 @@ class TransformerEncoderLayerPreNorm(nn.Module):
         return src + x
 
 
+class _EncoderLayerScanBody(nn.Module):
+    """nn.scan body around TransformerEncoderLayerPreNorm (carry = src)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+
+    @nn.compact
+    def __call__(self, x, _=None):
+        y = TransformerEncoderLayerPreNorm(
+            self.d_model, self.nhead, self.dim_feedforward)(x)
+        return y, None
+
+
 @READERS.register_module
 class TransformerVoxelFeatureExtractor(nn.Module):
     """TransVFE (SDSeg3D's reader, voxel_encoder.py:167-270)."""
@@ -130,10 +144,19 @@ class TransformerVoxelFeatureExtractor(nn.Module):
         x = TorchLinear(self.num_embed)(pf)  # feature_conv (1x1)
         x = x.reshape(B * V, P, self.num_embed)
         # remat: the per-slot activations pad badly on TPU (P=5 -> 8
-        # sublanes, E=64 -> 128 lanes); recompute instead of storing
-        Layer = nn.remat(TransformerEncoderLayerPreNorm)
-        for _ in range(self.num_layers):
-            x = Layer(self.num_embed, self.num_head, self.num_embed * 2)(x)
+        # sublanes, E=64 -> 128 lanes); recompute instead of storing.
+        # nn.scan compiles the (identical) layer once instead of
+        # num_layers times (cold-compile reduction, round 3).
+        ScanLayers = nn.scan(
+            nn.remat(_EncoderLayerScanBody),
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_layers,
+        )
+        x, _ = ScanLayers(
+            self.num_embed, self.num_head, self.num_embed * 2,
+            name="EncoderLayers",
+        )(x)
         x = x.reshape(B, V, P, self.num_embed)
         voxel_features = jnp.max(x, axis=2)  # final max pool over slots
 
