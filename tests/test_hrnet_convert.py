@@ -142,3 +142,68 @@ def test_real_checkpoint_manifest(width):
     np.testing.assert_array_equal(
         _get_in(out["batch_stats"], tuple(last_bn_path) + ("mean",)),
         sd[bn_keys[-1]])
+
+
+def test_pretrained_partial_load_strict_false(tmp_path):
+    """strict=False graft (reference seg_mseg3d_net.py:33-40): matching
+    tensors load, shape mismatches and unexpected keys are skipped with a
+    report instead of erroring at apply time."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+    from lidarseg3d_tpu.apis.pretrain import load_hrnet_pretrained
+    from lidarseg3d_tpu.models import build_img_backbone
+
+    m = build_img_backbone(dict(type="HRNet", extra=TINY))
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                       train=False)
+    blob_params = jax.tree.map(
+        lambda a: np.full(a.shape, 7.0, np.float32), variables["params"])
+    blob_stats = jax.tree.map(
+        lambda a: np.full(a.shape, 3.0, np.float32),
+        variables["batch_stats"])
+    # poison one leaf with a wrong shape + add an unexpected key
+    import flax
+    blob_params = flax.core.unfreeze(blob_params) if hasattr(
+        flax.core, "unfreeze") else dict(blob_params)
+    k0 = next(iter(blob_params))
+    sub = blob_params[k0]
+    kk = next(k for k in sub if "Conv" in k or "kernel" in str(sub[k]))
+    orig_shape = None
+    def poison(t):
+        for k, v in t.items():
+            if isinstance(v, dict):
+                if poison(v):
+                    return True
+            elif k == "kernel":
+                t[k] = np.zeros((1, 2, 3), np.float32)  # wrong shape
+                return True
+        return False
+    import copy
+    blob_params = copy.deepcopy(jax.tree.map(np.asarray, blob_params))
+    assert poison(blob_params)
+    blob_params["not_a_module"] = {"kernel": np.ones((2, 2), np.float32)}
+    path = str(tmp_path / "hrnet.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {"params": blob_params,
+             "batch_stats": jax.tree.map(np.asarray, blob_stats)}))
+
+    full = {"params": {"img_backbone_mod": variables["params"]},
+            "batch_stats": {"img_backbone_mod": variables["batch_stats"]}}
+
+    class L:
+        msgs = []
+        def info(self, m): self.msgs.append(m)
+        def warning(self, m): self.msgs.append(m)
+
+    out = load_hrnet_pretrained(full, path, logger=L())
+    newp = out["params"]["img_backbone_mod"]
+    leaves = jax.tree_util.tree_leaves(newp)
+    # most tensors loaded (value 7); the poisoned one kept its init value
+    n7 = sum(bool(np.all(np.asarray(l) == 7.0)) for l in leaves)
+    assert n7 >= len(leaves) - 1
+    assert not any(np.asarray(l).shape == (1, 2, 3) for l in leaves)
+    # batch stats loaded too
+    sl = jax.tree_util.tree_leaves(out["batch_stats"]["img_backbone_mod"])
+    assert all(np.all(np.asarray(l) == 3.0) for l in sl)
