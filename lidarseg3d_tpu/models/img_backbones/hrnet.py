@@ -120,6 +120,48 @@ class HRModule(nn.Module):
         return fused
 
 
+class _HRModuleScanBody(nn.Module):
+    """nn.scan body: carry = tuple of branch maps, train broadcast."""
+
+    num_branches: int
+    num_blocks: tuple
+    num_channels: tuple
+
+    @nn.compact
+    def __call__(self, xs, train):
+        ys = HRModule(self.num_branches, self.num_blocks,
+                      self.num_channels)(list(xs), train)
+        return tuple(ys), None
+
+
+class HRModuleStack(nn.Module):
+    """num_modules identical HRModules compiled ONCE via nn.scan.
+
+    mmcv repeats the module per stage (stage3 x4, stage4 x3 for w18/48);
+    the repeats dominated HRNet's share of cold-compile time. Weights
+    stack on a leading num_modules axis under 'scan/HRModule_0' — the
+    torch checkpoint importer restacks the module-major mmcv state_dict
+    accordingly (tools/convert_hrnet_checkpoint.py)."""
+
+    num_modules: int
+    num_branches: int
+    num_blocks: tuple
+    num_channels: tuple
+
+    @nn.compact
+    def __call__(self, xs, train):
+        Body = nn.scan(
+            _HRModuleScanBody,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+            in_axes=nn.broadcast,
+            length=self.num_modules,
+        )
+        ys, _ = Body(self.num_branches, self.num_blocks, self.num_channels,
+                     name="scan")(tuple(xs), train)
+        return list(ys)
+
+
 @IMG_BACKBONES.register_module
 class HRNet(nn.Module):
     extra: Any = None
@@ -169,8 +211,9 @@ class HRNet(nn.Module):
                 else:
                     new_xs.append(ConvBNReLU(chans[i], stride=2)(xs[-1], ts))
             xs = new_xs
-            for _ in range(cfg["num_modules"]):
-                xs = HRModule(nb, tuple(cfg["num_blocks"]), chans)(xs, ts)
+            xs = HRModuleStack(
+                cfg["num_modules"], nb, tuple(cfg["num_blocks"]), chans
+            )(xs, ts)
             if self.frozen_stages >= si:
                 xs = [jax.lax.stop_gradient(v) for v in xs]
             prev_channels = chans

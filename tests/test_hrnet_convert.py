@@ -23,26 +23,50 @@ TINY = dict(
 
 
 def synthetic_torch_sd(records, variables, rng):
-    """Build a torch-ordered state_dict matching the recorded flax layout."""
+    """Build a torch-ordered (module-major) state_dict matching the
+    recorded flax layout, including scan-stacked stage regions."""
     import jax
+    from convert_hrnet_checkpoint import _scan_region
+
     params = jax.device_get(variables["params"])
-    sd = {}
-    for i, (kind, path) in enumerate(records):
+
+    def leaf_shape(kind, path):
+        name = "kernel" if kind == "conv" else "scale"
+        return np.shape(_get_in(params, tuple(path) + (name,)))
+
+    def emit(sd, i, kind, shape):
         if kind == "conv":
-            k = _get_in(params, tuple(path) + ("kernel",))
-            w = rng.standard_normal(
-                (k.shape[3], k.shape[2], k.shape[0], k.shape[1])
-            ).astype(np.float32)
-            sd[f"m{i}.weight"] = w
+            H, W, I, O = shape
+            sd[f"m{i}.weight"] = rng.standard_normal(
+                (O, I, H, W)).astype(np.float32)
         else:
-            s = _get_in(params, tuple(path) + ("scale",))
-            C = s.shape[0]
+            C = shape[0]
             sd[f"m{i}.weight"] = rng.standard_normal(C).astype(np.float32)
             sd[f"m{i}.bias"] = rng.standard_normal(C).astype(np.float32)
-            sd[f"m{i}.running_mean"] = rng.standard_normal(C).astype(np.float32)
+            sd[f"m{i}.running_mean"] = rng.standard_normal(C).astype(
+                np.float32)
             sd[f"m{i}.running_var"] = np.abs(
-                rng.standard_normal(C)
-            ).astype(np.float32)
+                rng.standard_normal(C)).astype(np.float32)
+
+    sd, i, r = {}, 0, 0
+    while r < len(records):
+        region = _scan_region(records[r][1])
+        if region is None:
+            kind, path = records[r]
+            emit(sd, i, kind, leaf_shape(kind, path))
+            i += 1
+            r += 1
+        else:
+            j = r
+            while j < len(records) and _scan_region(records[j][1]) == region:
+                j += 1
+            recs = records[r:j]
+            M = leaf_shape(*recs[0])[0]
+            for m in range(M):
+                for kind, path in recs:
+                    emit(sd, i, kind, leaf_shape(kind, path)[1:])
+                    i += 1
+            r = j
     return sd
 
 
@@ -59,13 +83,15 @@ def test_converter_roundtrip():
     w_f = _get_in(out["params"], tuple(path0) + ("kernel",))
     np.testing.assert_array_equal(w_f, w_t.transpose(2, 3, 1, 0))
 
-    # all bn stats landed
-    for i, (kind, path) in enumerate(records):
-        if kind == "bn":
-            np.testing.assert_array_equal(
-                _get_in(out["batch_stats"], tuple(path) + ("mean",)),
-                sd[f"m{i}.running_mean"],
-            )
+    # every torch running_mean landed SOMEWHERE in batch_stats (scan
+    # regions restack module-major groups, so record index != sd index)
+    import jax as _jax
+    all_means = [np.asarray(l).reshape(-1) for l in
+                 _jax.tree_util.tree_leaves(out["batch_stats"])]
+    flat = np.concatenate(all_means)
+    for k, v in sd.items():
+        if k.endswith("running_mean"):
+            assert np.isin(np.round(v, 6), np.round(flat, 6)).all(), k
 
     # converted tree loads into the model and produces finite outputs
     import jax
@@ -136,12 +162,16 @@ def test_real_checkpoint_manifest(width):
     np.testing.assert_array_equal(
         _get_in(out["params"], tuple(p0) + ("kernel",)),
         w0.transpose(2, 3, 1, 0))
-    # and the LAST bn group must land at the last recorded flax bn
+    # and the LAST bn group (last module of the last scanned stage) must
+    # land at the last recorded flax bn — at stacked slice M-1
     last_bn_path = next(p for k, p in reversed(records) if k == "bn")
     bn_keys = [k for k in sd if k.endswith("running_mean")]
-    np.testing.assert_array_equal(
-        _get_in(out["batch_stats"], tuple(last_bn_path) + ("mean",)),
-        sd[bn_keys[-1]])
+    got = np.asarray(_get_in(out["batch_stats"],
+                             tuple(last_bn_path) + ("mean",)))
+    want = sd[bn_keys[-1]]
+    if got.ndim > want.ndim:  # scan-stacked leaf
+        got = got[-1]
+    np.testing.assert_array_equal(got, want)
 
 
 def test_pretrained_partial_load_strict_false(tmp_path):

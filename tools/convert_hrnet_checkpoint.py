@@ -59,6 +59,7 @@ def record_flax_layout(extra, image_size=(64, 64)):
     from lidarseg3d_tpu.models import build_img_backbone
 
     records = []
+    seen = set()
 
     def interceptor(next_fn, args, kwargs, context):
         name = type(context.module).__name__
@@ -66,7 +67,13 @@ def record_flax_layout(extra, image_size=(64, 64)):
             "Conv", "MaskedBatchNorm"
         ):
             kind = "conv" if name == "Conv" else "bn"
-            records.append((kind, context.module.path))
+            path = context.module.path
+            # nn.scan re-executes its body during init (shape pre-pass +
+            # per-length passes); keep first occurrence only — the scan
+            # region's M comes from the stacked param leading dim
+            if path not in seen:
+                seen.add(path)
+                records.append((kind, path))
         return next_fn(*args, **kwargs)
 
     model = build_img_backbone(dict(type="HRNet", extra=extra))
@@ -111,13 +118,49 @@ def set_in(tree, path, value):
     node[path[-1]] = value
 
 
+def _scan_region(path):
+    """Prefix of a record path up to the nn.scan boundary, or None.
+
+    Scanned HRNet stages execute once but hold weights stacked on a
+    leading num_modules axis under '.../HRModuleStack_i/scan/...'
+    (models/img_backbones/hrnet.py HRModuleStack)."""
+    for i, p in enumerate(path):
+        if p == "scan":
+            return path[: i + 1]
+    return None
+
+
+def _assign_group(params, bstats, kind_t, tensors, key, kind_f, path,
+                  slice_m=None):
+    """Write one torch conv/bn group at a flax record path. slice_m=None
+    writes the whole leaf; an int writes row m of a scan-stacked leaf."""
+
+    def put(tree, p, val):
+        cur = _get_in(tree, p)
+        val = val.astype(np.float32)
+        if slice_m is None:
+            assert cur.shape == val.shape, (key, p, val.shape, cur.shape)
+            set_in(tree, p, val)
+        else:
+            assert cur.shape[1:] == val.shape, (key, p, val.shape, cur.shape)
+            cur = np.asarray(cur).copy()
+            cur[slice_m] = val
+            set_in(tree, p, cur)
+
+    assert kind_t == kind_f, f"{key}: torch {kind_t} vs flax {kind_f} at {path}"
+    if kind_t == "conv":
+        put(params, path + ("kernel",), tensors[0].transpose(2, 3, 1, 0))
+    else:
+        scale, bias, mean, var = tensors
+        put(params, path + ("scale",), scale)
+        put(params, path + ("bias",), bias)
+        put(bstats, path + ("mean",), mean)
+        put(bstats, path + ("var",), var)
+
+
 def convert(state_dict, extra):
     model, variables, records = record_flax_layout(extra)
     groups = group_torch_params(state_dict)
-    assert len(groups) == len(records), (
-        f"torch has {len(groups)} conv/bn groups, flax recorded "
-        f"{len(records)} — structure mismatch"
-    )
     import jax
 
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
@@ -125,25 +168,54 @@ def convert(state_dict, extra):
     params = _to_mutable(params)
     bstats = _to_mutable(jax.device_get(variables.get("batch_stats", {})))
 
-    for (kind_t, tensors, key), (kind_f, path) in zip(groups, records):
-        assert kind_t == kind_f, f"{key}: torch {kind_t} vs flax {kind_f} at {path}"
-        if kind_t == "conv":
-            w = tensors[0].transpose(2, 3, 1, 0)  # OIHW -> HWIO
-            cur = _get_in(params, path + ("kernel",))
-            assert cur.shape == w.shape, (
-                f"{key}: shape {w.shape} vs flax {cur.shape} at {path}"
-            )
-            set_in(params, path + ("kernel",), w.astype(np.float32))
+    # partition records into plain runs and scan regions
+    segments = []
+    i = 0
+    while i < len(records):
+        region = _scan_region(records[i][1])
+        if region is None:
+            segments.append(("plain", [records[i]]))
+            i += 1
         else:
-            scale, bias, mean, var = tensors
-            for fname, val in (("scale", scale), ("bias", bias)):
-                cur = _get_in(params, path + (fname,))
-                assert cur.shape == val.shape, (key, path, fname)
-                set_in(params, path + (fname,), val.astype(np.float32))
-            for fname, val in (("mean", mean), ("var", var)):
-                cur = _get_in(bstats, path + (fname,))
-                assert cur.shape == val.shape, (key, path, fname)
-                set_in(bstats, path + (fname,), val.astype(np.float32))
+            j = i
+            while j < len(records) and _scan_region(records[j][1]) == region:
+                j += 1
+            segments.append(("scan", records[i:j]))
+            i = j
+
+    # expected torch group count: scan regions consume num_modules * L
+    def region_m(recs):
+        kind, path = recs[0]
+        leaf = _get_in(params, path + ("kernel" if kind == "conv"
+                                       else "scale",))
+        return int(np.shape(leaf)[0])
+
+    expected = sum(
+        len(recs) if seg == "plain" else region_m(recs) * len(recs)
+        for seg, recs in segments
+    )
+    assert expected == len(groups), (
+        f"torch has {len(groups)} conv/bn groups, flax layout expects "
+        f"{expected} — structure mismatch"
+    )
+
+    gi = 0
+    for seg, recs in segments:
+        if seg == "plain":
+            (kind_f, path), (kind_t, tensors, key) = recs[0], groups[gi]
+            gi += 1
+            _assign_group(params, bstats, kind_t, tensors, key, kind_f, path)
+        else:
+            # mmcv's state_dict is module-major (stage3.0.*, stage3.1.*,
+            # ...); the scan stacks module m at leading index m of each
+            # layer's leaf
+            M, L = region_m(recs), len(recs)
+            for m in range(M):
+                for l, (kind_f, path) in enumerate(recs):
+                    kind_t, tensors, key = groups[gi + m * L + l]
+                    _assign_group(params, bstats, kind_t, tensors, key,
+                                  kind_f, path, slice_m=m)
+            gi += M * L
     return {"params": params, "batch_stats": bstats}
 
 
