@@ -96,13 +96,41 @@ class LoadPointCloudFromFile:
                 obj = pickle.load(f)
             sample["waymo_obj"] = obj
             lid = obj["lidars"]
-            sample["points"] = np.concatenate(
+            points = np.concatenate(
                 [lid["points_xyz"], lid["points_feature"]], axis=1
             ).astype(np.float32)
+            nsweeps = sample.get("nsweeps", 1)
+            if nsweeps > 1 and info.get("sweeps"):
+                # two-sweep detection input (reference
+                # waymo_centerpoint_voxelnet_two_sweeps_*): earlier frames
+                # transformed into this frame's vehicle coords, +time-lag
+                # channel (0 for the key frame)
+                pts_list = [np.concatenate(
+                    [points, np.zeros((len(points), 1), np.float32)],
+                    axis=1)]
+                for sw in info["sweeps"][: nsweeps - 1]:
+                    with open(sw["path"], "rb") as f:
+                        sobj = pickle.load(f)
+                    sl = sobj["lidars"]
+                    p = np.concatenate(
+                        [sl["points_xyz"], sl["points_feature"]], axis=1
+                    ).astype(np.float32)
+                    T = np.asarray(sw["sweep_to_ref"], np.float32)
+                    p[:, :3] = p[:, :3] @ T[:3, :3].T + T[:3, 3]
+                    t = np.full((len(p), 1), sw["time_lag"], np.float32)
+                    pts_list.append(np.concatenate([p, t], axis=1))
+                points = np.concatenate(pts_list, axis=0)
+            sample["points"] = points
             if self.use_img:
                 # waymo provides per-point camera projections directly
-                # (loading.py:353-356)
-                sample["points_cp"] = lid["points_cp"].astype(np.float32)
+                # (loading.py:353-356); sweep points carry no projection
+                # (invalid marker -100, same as out-of-view points)
+                cp = lid["points_cp"].astype(np.float32)
+                if len(cp) < len(points):
+                    pad = np.full((len(points) - len(cp), cp.shape[1]),
+                                  -100.0, np.float32)
+                    cp = np.concatenate([cp, pad])
+                sample["points_cp"] = cp
         else:
             raise NotImplementedError(self.type)
         return sample, info

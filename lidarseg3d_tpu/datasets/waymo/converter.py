@@ -189,6 +189,8 @@ def create_semanticwaymo_infos(root, out_dir=None, nsweeps=1, split="training",
     image_dir = osp.join(out_dir, f"{split}_images")
     os.makedirs(frame_dir, exist_ok=True)
     infos = []
+    # rolling per-context history for multi-sweep infos
+    prev_frames = []
     records = sorted(
         f for f in os.listdir(osp.join(root, split)) if "tfrecord" in f
     )
@@ -216,9 +218,30 @@ def create_semanticwaymo_infos(root, out_dir=None, nsweeps=1, split="training",
             obj["token"] = token
             with open(path, "wb") as f:
                 pickle.dump(obj, f)
+            ts = frame.timestamp_micros / 1e6
+            pose = obj["veh_to_global"]
+            # previous same-context frames as sweeps (newest first), with
+            # the transform into THIS frame's vehicle coordinates
+            ref_inv = None
+            sweeps = []
+            for p in reversed(prev_frames[-(max(nsweeps - 1, 0)):]):
+                if p["context"] != frame.context.name:
+                    break
+                if ref_inv is None:
+                    import numpy as _np
+                    ref_inv = _np.linalg.inv(pose)
+                sweeps.append({
+                    "path": p["path"],
+                    "sweep_to_ref": (ref_inv @ p["pose"]).astype("float32"),
+                    "time_lag": float(ts - p["timestamp"]),
+                })
             infos.append({"token": token, "path": path,
                           "context": frame.context.name,
-                          "timestamp": frame.timestamp_micros / 1e6})
+                          "timestamp": ts, "sweeps": sweeps})
+            prev_frames.append({"context": frame.context.name, "path": path,
+                                "pose": pose, "timestamp": ts})
+            if len(prev_frames) > 8:
+                prev_frames.pop(0)
     info_path = osp.join(
         out_dir, f"infos_{split}_{nsweeps:02d}sweeps_segdet.pkl"
     )

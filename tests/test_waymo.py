@@ -126,3 +126,44 @@ def test_top_slices_select_top_lidar_points():
     ri2 = flat[sl["ri2"][0]: sl["ri2"][0] + sl["ri2"][1]]
     assert (ri1 == 1).all() and len(ri1) == n_top1
     assert (ri2 == 2).all() and len(ri2) == n_top2
+
+
+def test_waymo_two_sweep_loading(tmp_path):
+    """nsweeps=2: the previous same-context frame's points are transformed
+    into the key frame's vehicle coords with a time-lag channel (reference
+    waymo two_sweeps_with_velo recipe)."""
+    from lidarseg3d_tpu.datasets.pipelines.loading import (
+        LoadPointCloudFromFile,
+    )
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "f"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    objs, paths = [], []
+    for i in range(2):
+        xyz = rng.uniform(-5, 5, (50, 3)).astype(np.float32)
+        obj = {"token": f"s{i}", "lidars": {
+            "points_xyz": xyz,
+            "points_feature": rng.uniform(0, 1, (50, 2)).astype(np.float32),
+            "points_cp": np.full((50, 3), -100.0, np.float32)}}
+        p = os.path.join(root, "f", f"s{i}.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(obj, f)
+        objs.append(obj)
+        paths.append(p)
+
+    # sweep 0 -> key frame 1: translate by (1, 2, 0)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [1.0, 2.0, 0.0]
+    info = {"token": "s1", "path": paths[1],
+            "sweeps": [{"path": paths[0], "sweep_to_ref": T,
+                        "time_lag": 0.1}]}
+    loader = LoadPointCloudFromFile(dataset="SemanticWaymoDataset")
+    sample, _ = loader({"type": None, "nsweeps": 2}, info)
+    pts = sample["points"]
+    assert pts.shape == (100, 6)  # xyz + 2 feats + dt
+    np.testing.assert_allclose(pts[:50, 5], 0.0)
+    np.testing.assert_allclose(pts[50:, 5], 0.1, rtol=1e-6)
+    np.testing.assert_allclose(
+        pts[50:, :3], objs[0]["lidars"]["points_xyz"] + [1.0, 2.0, 0.0],
+        rtol=1e-5)
