@@ -46,6 +46,11 @@ def parse_args():
     p.add_argument("--pedestrian", type=float, default=0.4)
     p.add_argument("--cyclist", type=float, default=0.6)
     p.add_argument("--score_thresh", type=float, default=0.75)
+    p.add_argument("--sweep", default=None,
+                   help="gate line search (tools/waymo_tracking/"
+                        "line_search.py equivalent): e.g. "
+                        "'VEHICLE=0.5,0.8,1.1' writes one tracking bin "
+                        "per value for external metric evaluation")
     return p.parse_args()
 
 
@@ -74,8 +79,7 @@ def load_pose_ts(info, frame_cache):
             float(fr["timestamp"]))
 
 
-def main():
-    args = parse_args()
+def run_once(args, max_dist, filename):
     with open(args.checkpoint, "rb") as f:
         predictions = pickle.load(f)
     with open(args.info_path, "rb") as f:
@@ -92,8 +96,6 @@ def main():
         frames.append(dict(token=token, context=ctx, timestamp=ts, pose=pose))
     frames.sort(key=lambda f: (f["context"], f["timestamp"]))
 
-    max_dist = {"VEHICLE": args.vehicle, "PEDESTRIAN": args.pedestrian,
-                "CYCLIST": args.cyclist}
     tracker = CenterTracker(WAYMO_TRACKING_NAMES, max_dist,
                             max_age=args.max_age,
                             score_thresh=args.score_thresh)
@@ -145,10 +147,27 @@ def main():
         write_detection_objects,
     )
     path = write_detection_objects(results, args.work_dir,
-                                   filename="tracking_pred.bin")
+                                   filename=filename)
     print(f"wrote {path}")
     print("evaluate with the official waymo-open-dataset "
           "compute_tracking_metrics_main against gt.bin")
+
+
+def main():
+    args = parse_args()
+    max_dist = {"VEHICLE": args.vehicle, "PEDESTRIAN": args.pedestrian,
+                "CYCLIST": args.cyclist}
+    if not args.sweep:
+        run_once(args, max_dist, "tracking_pred.bin")
+        return
+    # gate line search (reference tools/waymo_tracking/line_search.py):
+    # one tracking submission per candidate value; score them externally
+    # with compute_tracking_metrics_main and keep the best
+    cls, values = args.sweep.split("=")
+    for v in values.split(","):
+        md = dict(max_dist)
+        md[cls] = float(v)
+        run_once(args, md, f"tracking_pred_{cls}_{v}.bin")
 
 
 if __name__ == "__main__":
