@@ -152,6 +152,36 @@ def main():
                                                  "det_predictions.pkl"))
         logger.info(f"wrote {pkl} ({len(dets)} frames)")
         ds_type = ds_cfg["type"]
+        if not args.testset and cfg.get("class_names"):
+            # local (devkit-free) val metrics: Waymo-style BEV-IoU AP/APH
+            # or nuScenes center-distance mAP (core/det_metrics.py)
+            from lidarseg3d_tpu.core.det_metrics import (
+                group_detections_by_class, nusc_map, waymo_ap,
+            )
+
+            gts = {}
+            for info in getattr(dataset, "_infos", []):
+                token = info.get("token")
+                if token not in dets:
+                    continue
+                if "gt_boxes" in info:  # nusc infos carry gt directly
+                    gts[token] = (np.asarray(info["gt_boxes"])[:, :7],
+                                  info["gt_names"])
+                elif "path" in info:  # waymo frame pkls
+                    import pickle as _pkl
+                    with open(info["path"], "rb") as f:
+                        obj = _pkl.load(f)
+                    anns = obj.get("annotations", {})
+                    if "gt_boxes" in anns:
+                        gts[token] = (np.asarray(anns["gt_boxes"])[:, :7],
+                                      anns["gt_names"])
+            if gts and len(gts) == len(dets):
+                frames = group_detections_by_class(
+                    dets, gts, list(cfg["class_names"]))
+                res = (nusc_map(frames) if ds_type == "SemanticNuscDataset"
+                       else waymo_ap(frames))
+                for k, v in res.items():
+                    logger.info(f"det metric {k}: {v}")
         if ds_type == "SemanticWaymoDataset":
             from lidarseg3d_tpu.datasets.waymo.det_submission import (
                 write_detection_objects,
