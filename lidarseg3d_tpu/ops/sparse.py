@@ -27,6 +27,7 @@ import numpy as np
 from flax import struct
 
 from . import coords as coord_ops
+from . import pallas_lookup as plkup
 from . import sparse_pallas as spk
 
 # Fused Pallas kernel policy for the conv entry points below:
@@ -240,6 +241,62 @@ def gather_gemm(feat_flat_ext, gidx, weights, out_dtype=jnp.float32):
 
 
 
+def _gather_cells(packed, cell, inb):
+    """packed [B, NCE]; cell [G, B, V] int32 in [0, NCE); inb [G, B, V].
+
+    Returns packed[b, cell] as [G, B, V]. Dispatches to the sorted-stream
+    Pallas kernel (ops/pallas_lookup.py) on TPU when the table fits VMEM
+    (measured 3.7-4.8x over XLA's element gather on v5e). Cells at
+    inb=False positions may be replaced by any valid cell (their gathered
+    value is never consumed) — the kernel path clamps them to the
+    per-group max valid cell so the query stream stays monotone and the
+    per-tile window spans stay tight.
+    """
+    B, nce = packed.shape
+    G, _, V = cell.shape
+    if _pallas_mode() in ("bf16", "fp32") and plkup.supported(nce):
+        maxc = jnp.max(jnp.where(inb, cell, 0), axis=-1, keepdims=True)
+        cells = jnp.minimum(cell, maxc)
+        Vp = -(-V // plkup.TILE_Q) * plkup.TILE_Q
+        if Vp != V:
+            cells = jnp.pad(
+                cells, ((0, 0), (0, 0), (0, Vp - V)), mode="edge"
+            )
+        stream = cells.transpose(1, 0, 2).reshape(B, G * Vp)
+        out = jnp.stack(
+            [plkup.lookup_gather(packed[b], stream[b]) for b in range(B)]
+        )
+        return out.reshape(B, G, Vp)[..., :V].transpose(1, 0, 2)
+    flat = packed.reshape(B * nce)
+    offs = (jnp.arange(B, dtype=jnp.int32) * nce)[None, :, None]
+    return jnp.take(flat, (cell + offs).reshape(-1), axis=0).reshape(cell.shape)
+
+
+def _lookup_rank3_groups(table, qc, gvalid):
+    """Grouped 3-x-tap rank-table lookup (coords.lookup_rank3 semantics,
+    batched over a leading group axis and funneled through ONE gather so
+    the Pallas sorted-stream kernel can serve all groups in one call).
+
+    qc: [G, B, V, 3] (z, y, x) with x in the extended range [-1, X];
+    gvalid: [G, B, V] per-query validity (row padding, parity, oob z/y).
+    Returns ((idx_m, f_m), (idx_0, f_0), (idx_p, f_p)), each [G, B, V].
+    """
+    Z, Y, X = (int(s) for s in table.spatial_shape)
+    nce = Z * Y * (X + 2)
+    z, y, x = qc[..., 0], qc[..., 1], qc[..., 2]
+    inb = ((z >= 0) & (z < Z) & (y >= 0) & (y < Y)
+           & (x >= -1) & (x <= X) & gvalid)
+    cell = (z * Y + y) * (X + 2) + (x + 1)
+    cell = jnp.clip(cell, 0, nce - 1)
+    v = _gather_cells(table.packed, cell, inb)
+    rank, am, a0, ap = coord_ops._rank_bits(v)
+    f = lambda a: inb & (a > 0)
+    i32 = lambda a: a.astype(jnp.int32)
+    return ((i32(rank - a0 - 1), f(am)),
+            (i32(rank - 1), f(a0)),
+            (i32(rank + ap - 1), f(ap)))
+
+
 def build_subm_rulebook(s: SparseStructure, kernel_size=3, table=None):
     """Global gather indices for a submanifold conv on structure ``s``.
 
@@ -259,23 +316,15 @@ def build_subm_rulebook(s: SparseStructure, kernel_size=3, table=None):
 
     if isinstance(table, coord_ops.RankTable) and ks[2] == 3:
         kz, ky, _ = ks
-        groups = jnp.asarray(
-            [(dz - kz // 2, dy - ky // 2)
-             for dz in range(kz) for dy in range(ky)], jnp.int32)
-
-        def one_group(d):
-            qc = s.coords + jnp.stack(
-                [d[0], d[1], jnp.zeros((), jnp.int32)])[None, None, :]
-            (im, fm), (i0, f0), (ip, fp) = coord_ops.lookup_rank3(
-                table, qc, valid)
-            return jnp.stack([
-                flatten_indices(im, fm, V),
-                flatten_indices(i0, f0, V),
-                flatten_indices(ip, fp, V),
-            ])
-
-        out = jax.vmap(one_group)(groups)  # [G, 3, B, V]
-        return out.reshape(kz * ky * 3, *out.shape[2:])
+        d = np.array([(dz - kz // 2, dy - ky // 2, 0)
+                      for dz in range(kz) for dy in range(ky)], np.int32)
+        qc = s.coords[None] + jnp.asarray(d)[:, None, None, :]  # [G,B,V,3]
+        gvalid = jnp.broadcast_to(valid[None], qc.shape[:-1])
+        (im, fm), (i0, f0), (ip, fp) = _lookup_rank3_groups(
+            table, qc, gvalid)
+        fi = jax.vmap(lambda i, f: flatten_indices(i, f, V))
+        out = jnp.stack([fi(im, fm), fi(i0, f0), fi(ip, fp)], axis=1)
+        return out.reshape(kz * ky * 3, *out.shape[2:])  # [G*3, B, V]
 
     offsets = make_offsets(ks)
     center = np.array([k // 2 for k in ks], dtype=np.int32)
@@ -397,26 +446,21 @@ def build_strided_rulebook(
         # x-taps query cells base_x+dx-px for dx in {0,1,2}: consecutive,
         # so one rank-table gather at the middle cell serves all three
         kz, ky, _ = ks
-        groups = jnp.asarray(
-            [(dz - pad[0], dy - pad[1])
-             for dz in range(kz) for dy in range(ky)], jnp.int32)
-
-        def one_group(d):
-            qc = jnp.stack([
-                base[..., 0] + d[0],
-                base[..., 1] + d[1],
-                base[..., 2] + (1 - pad[2]),
-            ], axis=-1)
-            (im, fm), (i0, f0), (ip, fp) = coord_ops.lookup_rank3(
-                table, qc, ovalid)
-            return jnp.stack([
-                flatten_indices(im, fm, Vin),
-                flatten_indices(i0, f0, Vin),
-                flatten_indices(ip, fp, Vin),
-            ])
-
-        out = jax.vmap(one_group)(groups)
-        return out.reshape(kz * ky * 3, *out.shape[2:])
+        d = np.array([(dz - pad[0], dy - pad[1])
+                      for dz in range(kz) for dy in range(ky)], np.int32)
+        dza = jnp.asarray(d[:, 0])[:, None, None]
+        dya = jnp.asarray(d[:, 1])[:, None, None]
+        qc = jnp.stack([
+            base[None, ..., 0] + dza,
+            base[None, ..., 1] + dya,
+            base[None, ..., 2] + jnp.zeros_like(dza) + (1 - pad[2]),
+        ], axis=-1)  # [G, B, V, 3]
+        gvalid = jnp.broadcast_to(ovalid[None], qc.shape[:-1])
+        (im, fm), (i0, f0), (ip, fp) = _lookup_rank3_groups(
+            table, qc, gvalid)
+        fi = jax.vmap(lambda i, f: flatten_indices(i, f, Vin))
+        out = jnp.stack([fi(im, fm), fi(i0, f0), fi(ip, fp)], axis=1)
+        return out.reshape(ks[0] * ks[1] * 3, *out.shape[2:])
 
     deltas = jnp.asarray(
         np.array(make_offsets(ks), np.int32) - np.array(pad, np.int32)[None, :]
@@ -492,41 +536,36 @@ def build_inverse_rulebook(
         kz, ky, _ = ks
         sxi = int(sz[2])
         miss = jnp.int32(target_struct.batch_size * Vlo)
-
-        def one_group(d):
-            dz, dy = d[0], d[1]
-            num_z = target_struct.coords[..., 0] + int(pad[0]) - dz
-            num_y = target_struct.coords[..., 1] + int(pad[1]) - dy
-            ez = num_z % int(sz[0]) == 0
-            ey = num_y % int(sz[1]) == 0
-            zq = num_z // int(sz[0])
-            yq = num_y // int(sz[1])
-            n0 = target_struct.coords[..., 2] + int(pad[2])
-            gvalid = tvalid & ez & ey
-            if sxi == 1:
-                center = n0 - 1
-            else:
-                center = (n0 - 1) >> 1
-            qc = jnp.stack([zq, yq, center], axis=-1)
-            (im, fm), (i0, f0), (ip, fp) = coord_ops.lookup_rank3(
-                table, qc, gvalid)
-            gm = flatten_indices(im, fm, Vlo)
-            g0 = flatten_indices(i0, f0, Vlo)
-            gp = flatten_indices(ip, fp, Vlo)
-            if sxi == 1:
-                # dx=0 -> cell n0 (=center+1), dx=1 -> n0-1, dx=2 -> n0-2
-                return jnp.stack([gp, g0, gm])
-            even = (n0 & 1) == 0
+        d = np.array([(dz, dy) for dz in range(kz) for dy in range(ky)],
+                     np.int32)
+        dza = jnp.asarray(d[:, 0])[:, None, None]
+        dya = jnp.asarray(d[:, 1])[:, None, None]
+        num_z = target_struct.coords[None, ..., 0] + int(pad[0]) - dza
+        num_y = target_struct.coords[None, ..., 1] + int(pad[1]) - dya
+        ez = num_z % int(sz[0]) == 0
+        ey = num_y % int(sz[1]) == 0
+        zq = num_z // int(sz[0])
+        yq = num_y // int(sz[1])
+        n0 = target_struct.coords[None, ..., 2] + int(pad[2])  # [1, B, V]
+        gvalid = tvalid[None] & ez & ey
+        center = (n0 - 1) if sxi == 1 else ((n0 - 1) >> 1)
+        qc = jnp.stack(
+            [zq, yq, jnp.broadcast_to(center, zq.shape)], axis=-1)
+        (im, fm), (i0, f0), (ip, fp) = _lookup_rank3_groups(
+            table, qc, gvalid)
+        fi = jax.vmap(lambda i, f: flatten_indices(i, f, Vlo))
+        gm, g0, gp = fi(im, fm), fi(i0, f0), fi(ip, fp)
+        if sxi == 1:
+            # dx=0 -> cell n0 (=center+1), dx=1 -> n0-1, dx=2 -> n0-2
+            out = jnp.stack([gp, g0, gm], axis=1)
+        else:
+            even = jnp.broadcast_to((n0 & 1) == 0, gp.shape)
             # even n0: dx=0 at cell n0/2 (=g+1), dx=2 at n0/2-1 (=g)
             # odd  n0: dx=1 at (n0-1)/2 (=g)
             t0 = jnp.where(even, gp, miss)
             t1 = jnp.where(even, miss, g0)
             t2 = jnp.where(even, g0, miss)
-            return jnp.stack([t0, t1, t2])
-
-        groups = jnp.asarray(
-            [(dz, dy) for dz in range(kz) for dy in range(ky)], jnp.int32)
-        out = jax.vmap(one_group)(groups)
+            out = jnp.stack([t0, t1, t2], axis=1)
         return out.reshape(kz * ky * 3, *out.shape[2:])
 
     deltas = jnp.asarray(
