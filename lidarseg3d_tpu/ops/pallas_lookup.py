@@ -23,10 +23,19 @@ scalar-prefetched), and resolves all 128 queries per window with
 
 ~2 windows/row on realistic scans -> ~1-2 ns/query vs 7.2 ns XLA.
 
-The table must be VMEM-resident: callers fall back to the XLA gather when
-prod(spatial_shape) * 4 B exceeds LOOKUP_VMEM_BUDGET (real SemanticKITTI
-0.1 m grids are 370 MB -> XLA path; the 0.2 m bench grid and every
-downsampled stage fit).
+The table must be VMEM-resident for the fast path: callers fall back to
+the XLA gather when prod(spatial_shape) * 4 B exceeds LOOKUP_VMEM_BUDGET
+(real SemanticKITTI 0.1 m grids are 370 MB -> XLA path; the 0.2 m bench
+grid and every downsampled stage fit). ``lookup_gather`` stays correct
+for any table size via an HBM-resident windowed-DMA variant
+(``_hbm_kernel``: per query row, DMA the row's MAXW-window span into a
+VMEM scratch slot, all rows in flight together), but MEASURED on v5e it
+only beats the XLA element gather when consecutive voxels are ~a window
+apart or closer (22 MB table / 48-cell spacing: 13.9 vs 17.1 ms per
+1.08M queries) and loses badly on real sparse fills (172 MB / 375-cell
+spacing: 109 vs 18 ms — chunk DMAs serialize, fetched windows are ~all
+waste). Production dispatch (ops/sparse.py) therefore gates on
+``supported()`` and leaves big-grid builds on the XLA gather.
 
 Reference equivalence: this replaces spconv's GPU hash-table rulebook
 queries (cf. /root/reference/det3d/models/backbones/scn_unet.py:11-30);
@@ -89,6 +98,105 @@ def _lookup_kernel(wstart_ref, wcnt_ref, q_ref, t_ref, out_ref):
         out_ref[r : r + 1, :] = acc
 
 
+MAXW = 4  # windows DMA'd per chunk in the HBM variant (16 KB per row DMA)
+
+
+def _hbm_kernel(wstart_ref, wcnt_ref, q_ref, t_ref, out_ref, scr_ref,
+                sem_ref):
+    """HBM-resident table: DMA each row's window span into VMEM scratch.
+
+    t_ref lives in ANY (HBM): per grid step the kernel issues SUB
+    fixed-size DMAs (MAXW windows each, all rows in flight together so
+    their latencies overlap), then resolves each row from its scratch
+    slot. Rows spanning more than MAXW windows (rare: spans are ~2 on
+    key-sorted streams) re-fill their slot chunk by chunk.
+    """
+    i = pl.program_id(0)
+    nwmax = t_ref.shape[0] // SUB  # total 1024-cell windows in the table
+
+    def row_copy(r, base):
+        return pltpu.make_async_copy(
+            t_ref.at[pl.ds(base * SUB, MAXW * SUB), :],
+            scr_ref.at[r], sem_ref.at[r])
+
+    def base_of(w0):
+        return jnp.minimum(w0, nwmax - MAXW)
+
+    for r in range(SUB):
+        row_copy(r, base_of(wstart_ref[r, i])).start()
+
+    for r in range(SUB):
+        w0 = wstart_ref[r, i]
+        end = w0 + wcnt_ref[r, i]
+        base0 = base_of(w0)
+        row_copy(r, base0).wait()
+        qrow = q_ref[r : r + 1, :]
+
+        def win_body(k, acc, base, qrow=qrow, r=r):
+            # window k resident at scratch sublanes (k-base)*SUB
+            win = scr_ref[r, pl.ds((k - base) * SUB, SUB), :]
+            local = qrow - k * WIN
+            lane = local & (LANES - 1)
+            sub = local >> 7
+            g = jnp.take_along_axis(
+                win, jnp.broadcast_to(lane, (SUB, LANES)), axis=1)
+            res = acc
+            for s in range(SUB):
+                res = jnp.where(sub == s, g[s : s + 1, :], res)
+            inwin = (local >= 0) & (local < WIN)
+            return jnp.where(inwin, res, acc)
+
+        acc = jnp.zeros((1, LANES), jnp.int32)
+        end0 = jnp.minimum(end, base0 + MAXW)
+        acc = jax.lax.fori_loop(
+            w0, end0, lambda k, a: win_body(k, a, base0), acc)
+
+        def more_chunks(carry):
+            k, _ = carry
+            return k < end
+
+        def next_chunk(carry, r=r, qrow=qrow):
+            k, acc = carry
+            base = base_of(k)
+            cp = row_copy(r, base)
+            cp.start()
+            cp.wait()
+            e = jnp.minimum(end, base + MAXW)
+            acc = jax.lax.fori_loop(
+                k, e, lambda kk, a: win_body(kk, a, base), acc)
+            return (e, acc)
+
+        _, acc = jax.lax.while_loop(more_chunks, next_chunk, (end0, acc))
+        out_ref[r : r + 1, :] = acc
+
+
+def _lookup_gather_hbm(table, wstart, wcnt, qtiles, *, interpret=False):
+    """table [R, LANES] int32 (R % (MAXW*SUB) padded by caller);
+    wstart/wcnt [SUB, nb]; qtiles [nb*SUB, LANES]."""
+    nb = wstart.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+        ],
+        out_specs=pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((SUB, MAXW * SUB, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((SUB,)),
+        ],
+    )
+    return pl.pallas_call(
+        _hbm_kernel,
+        out_shape=jax.ShapeDtypeStruct((nb * SUB, LANES), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(wstart, wcnt, qtiles, table)
+
+
 def lookup_gather(packed, cells, *, interpret=False):
     """Gather ``packed[cells]`` for a monotone-friendly sorted query stream.
 
@@ -104,7 +212,11 @@ def lookup_gather(packed, cells, *, interpret=False):
     (nce,) = packed.shape
     (q,) = cells.shape
     assert q % TILE_Q == 0, q
-    nce_pad = -(-nce // WIN) * WIN
+    resident = supported(nce)
+    # the HBM variant's fixed-size chunk DMAs may reach MAXW windows past
+    # any wstart, so pad the table to a MAXW-window multiple
+    pad_to = WIN if resident else MAXW * WIN
+    nce_pad = -(-nce // pad_to) * pad_to
     if nce_pad != nce:
         packed = jnp.pad(packed, (0, nce_pad - nce))
     table = packed.reshape(nce_pad // LANES, LANES)
@@ -114,6 +226,12 @@ def lookup_gather(packed, cells, *, interpret=False):
     wstart = w.min(axis=-1).astype(jnp.int32)  # [nb, SUB]
     wcnt = (w.max(axis=-1) - wstart + 1).astype(jnp.int32)
     wstart, wcnt = wstart.T, wcnt.T  # [SUB, nb]: long axis last for SMEM
+
+    if not resident:
+        out = _lookup_gather_hbm(
+            table, wstart, wcnt, cells.reshape(nb * SUB, LANES),
+            interpret=interpret)
+        return out.reshape(q)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

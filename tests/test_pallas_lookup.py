@@ -41,6 +41,22 @@ def test_lookup_gather_wide_spans():
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
 
+def test_lookup_gather_hbm_path():
+    """Tables over the VMEM budget dispatch to the windowed-DMA variant,
+    including rows whose spans cross the MAXW-window chunk size."""
+    rng = np.random.default_rng(3)
+    nce = plk.LOOKUP_VMEM_BUDGET // 4 + 70_000
+    table = jnp.asarray(rng.integers(0, 2**20, nce).astype(np.int32))
+    assert not plk.supported(nce)
+    # dense tile-local stream (typical) + sparse stream (multi-chunk spans)
+    for size in (8192, 1024):
+        cells = np.sort(rng.choice(nce, size=size, replace=False))
+        q = jnp.asarray(cells.astype(np.int32))
+        want = jnp.take(table, q, axis=0)
+        got = plk.lookup_gather(table, q, interpret=True)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
 def _random_structure(rng, B, V, shape, nvox):
     zyx = np.stack(
         [rng.integers(0, s, size=(B, V)) for s in shape], axis=-1
