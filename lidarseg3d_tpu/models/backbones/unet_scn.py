@@ -71,25 +71,33 @@ class UNetSCN3D(nn.Module):
         rb_inv4 = sp.build_inverse_rulebook(s4, s3, 3, 2, (0, 1, 1), table=t4)
 
         blk = lambda c, **kw: SparseConvBNReLU(c, **kw)
+        # ACT_REMAT recomputes residual-block activations in the backward
+        # pass (torch.utils.checkpoint parity; unlocks B>=4 full-scan
+        # training on 16 GB HBM)
+        rm = bool(self._cfg("ACT_REMAT", False))
 
         # ---- encoder (block pairs scanned: compiled once per stage) ----
         x = blk(16 * r, conv_type="subm")(st_in, rb_subm1, train=train)  # conv_input
-        x_conv1 = SparseBasicBlockStack(16 * r, n=2)(x, rb_subm1, train=train)
+        x_conv1 = SparseBasicBlockStack(16 * r, n=2, remat=rm)(
+            x, rb_subm1, train=train)
 
         x = blk(32 * r, conv_type="spconv", padding=1)(
             x_conv1, rb_down2, out_struct=s2, rulebook_t=rb_inv2, train=train
         )
-        x_conv2 = SparseBasicBlockStack(32 * r, n=2)(x, rb_subm2, train=train)
+        x_conv2 = SparseBasicBlockStack(32 * r, n=2, remat=rm)(
+            x, rb_subm2, train=train)
 
         x = blk(64 * r, conv_type="spconv", padding=1)(
             x_conv2, rb_down3, out_struct=s3, rulebook_t=rb_inv3, train=train
         )
-        x_conv3 = SparseBasicBlockStack(64 * r, n=2)(x, rb_subm3, train=train)
+        x_conv3 = SparseBasicBlockStack(64 * r, n=2, remat=rm)(
+            x, rb_subm3, train=train)
 
         x = blk(64 * r, conv_type="spconv", padding=(0, 1, 1))(
             x_conv3, rb_down4, out_struct=s4, rulebook_t=rb_inv4, train=train
         )
-        x_conv4 = SparseBasicBlockStack(64 * r, n=2)(x, rb_subm4, train=train)
+        x_conv4 = SparseBasicBlockStack(64 * r, n=2, remat=rm)(
+            x, rb_subm4, train=train)
 
         out = {}
         if self._cfg("RETURN_ENCODED_TENSOR", False):

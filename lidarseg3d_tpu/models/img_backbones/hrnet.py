@@ -147,11 +147,14 @@ class HRModuleStack(nn.Module):
     num_branches: int
     num_blocks: tuple
     num_channels: tuple
+    remat: bool = False  # mmcv HRNet's with_cp (torch checkpointing)
 
     @nn.compact
     def __call__(self, xs, train):
+        body = (nn.remat(_HRModuleScanBody, static_argnums=(2,))
+                if self.remat else _HRModuleScanBody)
         Body = nn.scan(
-            _HRModuleScanBody,
+            body,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
             in_axes=nn.broadcast,
@@ -170,6 +173,8 @@ class HRNet(nn.Module):
     frozen_stages: int = -1
     pretrained: str = None
     in_channels: int = 3
+    with_cp: bool = False  # recompute stage activations in backward
+    # (mmcv HRNet's with_cp, mmcv/cnn hrnet.py torch.utils.checkpoint)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -212,7 +217,8 @@ class HRNet(nn.Module):
                     new_xs.append(ConvBNReLU(chans[i], stride=2)(xs[-1], ts))
             xs = new_xs
             xs = HRModuleStack(
-                cfg["num_modules"], nb, tuple(cfg["num_blocks"]), chans
+                cfg["num_modules"], nb, tuple(cfg["num_blocks"]), chans,
+                remat=self.with_cp,
             )(xs, ts)
             if self.frozen_stages >= si:
                 xs = [jax.lax.stop_gradient(v) for v in xs]

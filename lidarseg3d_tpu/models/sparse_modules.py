@@ -126,11 +126,16 @@ class SparseBasicBlockStack(nn.Module):
 
     features: int
     n: int = 2
+    remat: bool = False  # recompute block activations in backward
+    # (torch.utils.checkpoint equivalent; enables B>=4 full-scan training
+    # within v5e HBM — see STATUS "Batched training")
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, rulebook, train: bool = True):
+        body = (nn.remat(_SparseBasicBlockBody, static_argnums=(4,))
+                if self.remat else _SparseBasicBlockBody)
         Body = nn.scan(
-            _SparseBasicBlockBody,
+            body,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),

@@ -237,3 +237,35 @@ def test_pretrained_partial_load_strict_false(tmp_path):
     # batch stats loaded too
     sl = jax.tree_util.tree_leaves(out["batch_stats"]["img_backbone_mod"])
     assert all(np.all(np.asarray(l) == 3.0) for l in sl)
+
+
+def test_with_cp_matches_plain():
+    """with_cp=True (mmcv HRNet's torch.utils.checkpoint parity) keeps the
+    param tree, loss, and gradients identical to the plain backbone."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from lidarseg3d_tpu.models import build_img_backbone
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 32, 32, 3)).astype(
+            np.float32))
+    results = {}
+    for cp in (False, True):
+        m = build_img_backbone(dict(type="HRNet", extra=TINY, with_cp=cp))
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+
+        def loss(p, v=v, m=m):
+            ys, _ = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
+            return sum(y.sum() for y in ys)
+
+        l, g = jax.value_and_grad(loss)(v["params"])
+        results[cp] = (float(l), g)
+
+    assert np.allclose(results[False][0], results[True][0], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(results[False][1]),
+                    jax.tree_util.tree_leaves(results[True][1])):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() <= 1e-4 * (np.abs(a).max() + 1e-9)

@@ -150,6 +150,37 @@ def test_loss_and_grads(model_and_vars):
     assert total > 0
 
 
+def test_act_remat_matches(model_and_vars):
+    """ACT_REMAT=True recomputes activations in backward without changing
+    the param tree, the loss, or the gradients (torch.utils.checkpoint
+    parity for the UNet residual stacks)."""
+    model, variables, ex = model_and_vars
+    cfg = model_cfg()
+    cfg["backbone"]["model_cfg"]["ACT_REMAT"] = True
+    model_r = build_detector(cfg)
+    var_r = model_r.init(jax.random.PRNGKey(0), ex, train=False)
+    paths = lambda v: set(
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(v)[0])
+    assert paths(var_r) == paths(variables)
+
+    def loss_of(m, v):
+        def f(p):
+            (ret, bat), _ = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, ex,
+                train=True, mutable=["batch_stats"])
+            return m.loss(ret, bat)[0]
+        return jax.value_and_grad(f)(v["params"])
+
+    l0, g0 = loss_of(model, variables)
+    l1, g1 = loss_of(model_r, var_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
 def test_eval_predict(model_and_vars):
     model, variables, ex = model_and_vars
     ret, bat = model.apply(variables, ex, train=False)
