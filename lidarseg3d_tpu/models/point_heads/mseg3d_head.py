@@ -96,6 +96,9 @@ class SemanticFeatureFusionModule(nn.Module):
     n_head: int = 4
     n_layer: int = 6
     n_ffn: int = 192
+    remat: bool = False  # recompute decoder-layer activations in backward:
+    # the scan otherwise saves [n_layer, B, N, *] residuals (~10 GB at
+    # B=4 full scans), the largest term in the train-step memory
 
     @nn.compact
     def __call__(self, point_features, sem_emb_camera, sem_emb_lidar):
@@ -105,7 +108,7 @@ class SemanticFeatureFusionModule(nn.Module):
         e2 = TorchLinear(self.d_model)(sem_emb_lidar)
         memory = jnp.concatenate([e1, e2], axis=1)  # [B, 2*ncls, E]
         ScanLayers = nn.scan(
-            SFFMDecoderLayer,
+            nn.remat(SFFMDecoderLayer) if self.remat else SFFMDecoderLayer,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.n_layer,
@@ -197,6 +200,7 @@ class PointSegMSeg3DHead(nn.Module):
             d_input_point=cfg["GEO_FUSED_DIM"],
             d_model=sf_cfg["d_model"], n_head=sf_cfg["n_head"],
             n_layer=sf_cfg["n_layer"], n_ffn=sf_cfg["n_ffn"],
+            remat=bool(cfg.get("ACT_REMAT", False)),
         )(geo, batch["camera_semantic_embeddings"], lidar_emb)
 
         out_logits = TorchLinear(self.num_class)(fused)

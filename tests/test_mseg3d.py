@@ -194,3 +194,43 @@ def test_hrnet_norm_eval_freezes_bn_stats():
     grads = jax.grad(loss_fn)(variables["params"])
     g = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(grads))
     assert g > 0 and np.isfinite(g)
+
+
+def test_mseg3d_full_remat_matches(setup):
+    """ACT_REMAT (UNet stacks + SFFM decoder) + HRNet with_cp together keep
+    the param tree, loss, and grads identical — the flagship's B>=4
+    memory configuration is numerically free."""
+    model, variables, ex = setup
+    cfg = model_cfg()
+    cfg["backbone"].setdefault("model_cfg", {})["ACT_REMAT"] = True
+    cfg["point_head"].setdefault("model_cfg", {})["ACT_REMAT"] = True
+    cfg["img_backbone"]["with_cp"] = True
+    model_r = build_detector(cfg)
+    var_r = model_r.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        ex, train=False,
+    )
+    paths = lambda v: set(
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(v)[0])
+    assert paths(var_r) == paths(variables)
+
+    def loss_grads(m, v):
+        def f(p):
+            (ret, bat), _ = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, ex,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)},
+            )
+            return m.loss(ret, bat)[0]
+        return jax.value_and_grad(f)(v["params"])
+
+    l0, g0 = loss_grads(model, variables)
+    l1, g1 = loss_grads(model_r, var_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        # atol floor 1e-7: leaves whose grads are numerically zero
+        # (max ~1e-9, dead branches) reorder-noise above any rtol
+        assert np.abs(a - b).max() <= 2e-5 * np.abs(a).max() + 1e-7

@@ -211,3 +211,24 @@ def test_tiny_token_attention_matches_standard():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+
+def test_tiny_token_attention_custom_vjp_grads():
+    """The N-minor manual backward (custom VJP, the B>=4 OOM fix) matches
+    autodiff of the plain forward implementation."""
+    from lidarseg3d_tpu.models.readers.voxel_encoders import (
+        tiny_token_attention, _tta_fwd_impl,
+    )
+    rng = np.random.default_rng(1)
+    N, P, E, H = 41, 5, 64, 4
+    q, k, v, co = (
+        jnp.asarray(rng.standard_normal((N, P, E)).astype(np.float32))
+        for _ in range(4))
+    g_ref = jax.grad(
+        lambda q, k, v: (_tta_fwd_impl(q, k, v, H) * co).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    g_new = jax.grad(
+        lambda q, k, v: (tiny_token_attention(q, k, v, H) * co).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
