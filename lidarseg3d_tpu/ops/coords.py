@@ -407,19 +407,48 @@ def lookup(sorted_keys, perm, qkeys, pad_index=None):
     )
 
 
+# Grids up to this many cells deduplicate via dense scatter + cumsum
+# (sort-free); larger grids fall back to jnp.unique's sort. 8M cells =
+# 32 MB/sample of transient int32 — the same ballpark the rank/dense
+# tables already spend on such grids.
+UNIQUE_DENSE_MAX_CELLS = 1 << 23
+
+
 def unique_coords(coords, valid_mask, spatial_shape, capacity):
     """Deduplicate coords per sample into a fixed-capacity, key-sorted set.
 
     Returns (out_coords [B, capacity, 3], out_num [B], sorted_keys [B, capacity]).
     The output is sorted by key, so its hash table is (sorted_keys, arange).
     Voxels beyond ``capacity`` (the largest keys) are dropped.
+
+    Small grids skip the sort entirely: scatter an occupancy bit per cell,
+    rank the set cells by cumulative sum, and scatter each cell id to its
+    rank — O(ncells) bandwidth instead of an O(V log V) sort.
     """
     keys = make_table_keys(coords, valid_mask, spatial_shape)
+    nc = int(np.prod([int(s) for s in spatial_shape]))
 
-    def one(k):
-        uk = jnp.unique(k, size=capacity, fill_value=INVALID_KEY)
-        n = jnp.sum(uk != INVALID_KEY).astype(jnp.int32)
-        return uk.astype(jnp.int32), n
+    if nc <= UNIQUE_DENSE_MAX_CELLS:
+
+        def one(k):
+            idx = jnp.where(k == INVALID_KEY, nc, k)
+            mask = jnp.zeros((nc,), jnp.int32).at[idx].set(1, mode="drop")
+            ranks = jnp.cumsum(mask)  # 1-based rank at set cells
+            total = ranks[-1]
+            pos = jnp.where((mask == 1) & (ranks <= capacity),
+                            ranks - 1, capacity)
+            cells = jax.lax.iota(jnp.int32, nc)
+            out = jnp.full((capacity + 1,), INVALID_KEY, jnp.int32)
+            out = out.at[pos].set(cells, mode="drop")
+            return out[:capacity], jnp.minimum(total, capacity).astype(
+                jnp.int32)
+
+    else:
+
+        def one(k):
+            uk = jnp.unique(k, size=capacity, fill_value=INVALID_KEY)
+            n = jnp.sum(uk != INVALID_KEY).astype(jnp.int32)
+            return uk.astype(jnp.int32), n
 
     ukeys, num = jax.vmap(one)(keys)
     out_coords = delinearize(ukeys, spatial_shape)

@@ -380,3 +380,31 @@ def test_fused_conv_column_chunking_matches():
     for a, b in zip(chk_g, ref_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_unique_coords_dense_matches_sort():
+    """The sort-free dense-compaction path of unique_coords (small grids)
+    matches the jnp.unique sort path, including capacity overflow, empty
+    samples, and key-sorted output order."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lidarseg3d_tpu.ops import coords as co
+
+    rng = np.random.default_rng(7)
+    B, V, shape = 3, 700, (6, 24, 24)
+    zyx = np.stack([rng.integers(0, s, (B, V)) for s in shape], -1).astype(
+        np.int32)
+    valid = np.arange(V)[None, :] < np.array([650, 400, 0])[:, None]
+    c, v = jnp.asarray(zyx), jnp.asarray(valid)
+    saved = co.UNIQUE_DENSE_MAX_CELLS
+    try:
+        for cap in (256, 64):
+            oc1, n1, k1 = co.unique_coords(c, v, shape, cap)
+            co.UNIQUE_DENSE_MAX_CELLS = 0  # force the sort path
+            oc2, n2, k2 = co.unique_coords(c, v, shape, cap)
+            co.UNIQUE_DENSE_MAX_CELLS = saved
+            np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+            np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+            np.testing.assert_array_equal(np.asarray(oc1), np.asarray(oc2))
+    finally:
+        co.UNIQUE_DENSE_MAX_CELLS = saved
