@@ -22,6 +22,7 @@ hrnet_w18 = dict(
     pretrained="./work_dirs/pretrained_models/hrnetv2_w18.msgpack",
     frozen_stages=3,
     norm_eval=False,
+    with_cp=True,  # 6 cameras x B=3: checkpoint HRNet stages (mmcv option)
     extra=dict(
         stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK",
                     num_blocks=(4,), num_channels=(64,)),
@@ -48,7 +49,11 @@ model = dict(
     backbone=dict(
         type="UNetSCN3D", num_input_features=5 + 8, ds_factor=8, us_factor=8,
         point_cloud_range=point_cloud_range, voxel_size=voxel_size,
-        model_cfg=dict(SCALING_RATIO=2, DOWN_CAPACITY_RATIOS=(0.5, 0.25, 0.15)),
+        # ACT_REMAT: recompute UNet-block activations in backward (grads
+        # unchanged, tested) — samples_per_gpu=3 full nusc scans exceed
+        # 16 GB HBM otherwise
+        model_cfg=dict(SCALING_RATIO=2, DOWN_CAPACITY_RATIOS=(0.5, 0.25, 0.15),
+                       ACT_REMAT=True),
     ),
     point_head=dict(
         type="PointSegMSeg3DHead", class_agnostic=False, num_class=num_class,
@@ -56,6 +61,7 @@ model = dict(
             VOXEL_IN_DIM=32, VOXEL_CLS_FC=[64], VOXEL_ALIGN_DIM=64,
             IMAGE_IN_DIM=48, IMAGE_ALIGN_DIM=64, GEO_FUSED_DIM=64,
             OUT_CLS_FC=[64, 64], IGNORED_LABEL=ignore_class, DP_RATIO=0.25,
+            ACT_REMAT=True,  # SFFM decoder scan residuals are the largest B>=3 term
             MIMIC_FC=[64, 64],
             SFPhase_CFG=dict(embeddings_proj_kernel_size=1, d_model=96,
                              n_head=4, n_layer=6, n_ffn=192, drop_ratio=0,
