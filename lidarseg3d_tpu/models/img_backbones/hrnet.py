@@ -22,11 +22,18 @@ from ..layers import MaskedBatchNorm
 from ..registry import IMG_BACKBONES
 
 
-def conv(features, kernel=3, stride=1, name=None):
+def conv(features, kernel=3, stride=1, name=None, dtype=None):
+    """3x3/1x1 conv; ``dtype`` is the COMPUTE dtype (params stay fp32).
+
+    Pass ``dtype=x.dtype`` to make the conv follow its input: with bf16
+    activations the MXU runs its native bf16 path and every intermediate
+    map costs half the HBM/VMEM traffic (mixed precision; fp32 master
+    params, fp32 BN statistics — see HRNet.compute_dtype)."""
     pad = kernel // 2
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
         padding=((pad, pad), (pad, pad)), use_bias=False, name=name,
+        dtype=dtype,
     )
 
 
@@ -38,7 +45,7 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train):
-        x = conv(self.features, self.kernel, self.stride)(x)
+        x = conv(self.features, self.kernel, self.stride, dtype=x.dtype)(x)
         x = MaskedBatchNorm()(x, train=train)
         return jax.nn.relu(x) if self.relu else x
 
@@ -175,11 +182,15 @@ class HRNet(nn.Module):
     in_channels: int = 3
     with_cp: bool = False  # recompute stage activations in backward
     # (mmcv HRNet's with_cp, mmcv/cnn hrnet.py torch.utils.checkpoint)
+    compute_dtype: Any = None  # e.g. "bfloat16": mixed-precision activations
+    # (fp32 master params + BN stats; convs run the MXU's native bf16 path)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         """x: [N, H, W, 3] -> list of 4 feature maps (1/4 .. 1/32)."""
         extra = self.extra
+        if self.compute_dtype is not None:
+            x = x.astype(jnp.dtype(self.compute_dtype))
         # norm_eval=True (mmcv BaseModule.train() override): BN layers stay
         # in eval mode (frozen running stats) during training while convs
         # still receive gradients. The `train` flag below only gates BN —

@@ -6,6 +6,7 @@ support for the last stages, multi-stage outputs.
 """
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ..layers import MaskedBatchNorm
@@ -29,10 +30,13 @@ class ResNetMMCV(nn.Module):
     deep_stem: bool = True
     pretrained: str = None
     norm_eval: bool = False
+    compute_dtype: str = None  # mixed-precision activations (see hrnet.conv)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         block_type, blocks = ARCH[self.depth]
+        if self.compute_dtype is not None:
+            x = x.astype(jnp.dtype(self.compute_dtype))
         t0 = train and self.frozen_stages < 0
         c = self.base_channels
         if self.deep_stem:  # ResNetV1c stem
@@ -41,7 +45,8 @@ class ResNetMMCV(nn.Module):
             x = ConvBNReLU(c)(x, t0)
         else:
             x = nn.Conv(c, (7, 7), strides=(2, 2),
-                        padding=((3, 3), (3, 3)), use_bias=False)(x)
+                        padding=((3, 3), (3, 3)), use_bias=False,
+                        dtype=x.dtype)(x)
             x = MaskedBatchNorm()(x, train=t0)
             x = jax.nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))

@@ -59,8 +59,11 @@ class FCNHead(nn.Module):
         if self.dropout_ratio > 0:
             feats = nn.Dropout(self.dropout_ratio,
                                deterministic=not train)(feats)
-        logits = nn.Conv(self.num_classes, (1, 1))(feats)
-        return {"image_features": feats, "image_logits": logits}
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=feats.dtype)(feats)
+        # loss consumers always see fp32 (inputs may be bf16 when the
+        # backbone runs mixed precision, see HRNet.compute_dtype)
+        return {"image_features": feats.astype(jnp.float32),
+                "image_logits": logits.astype(jnp.float32)}
 
     def get_loss(self, ret, batch):
         logits = ret["image_logits"]

@@ -46,6 +46,8 @@ class FCNMSeg3DHead(nn.Module):
     norm_cfg: dict = None
     use_sc_conv: bool = False
     conv_seg_kernel: int = 1
+    compute_dtype: str = None  # mixed-precision convs (see hrnet.conv);
+    # outputs (features/logits/embeddings) are always cast back to fp32
 
     @nn.compact
     def __call__(self, inputs, batch_size, train: bool = True):
@@ -53,6 +55,9 @@ class FCNMSeg3DHead(nn.Module):
         Returns dict(image_features [B*ncam, h, w, channels],
                      image_logits [B*ncam, h, w, ncls],
                      camera_semantic_embeddings [B, ncls, channels])."""
+        if self.compute_dtype is not None:
+            dt = jnp.dtype(self.compute_dtype)
+            inputs = [x.astype(dt) for x in inputs]
         # resize-concat to the finest scale
         tgt = inputs[self.in_index[0]]
         ups = [tgt]
@@ -82,8 +87,12 @@ class FCNMSeg3DHead(nn.Module):
                 jnp.concatenate([x, feats], axis=-1), train
             )
         logits = nn.Conv(
-            self.num_classes, (self.conv_seg_kernel, self.conv_seg_kernel)
+            self.num_classes, (self.conv_seg_kernel, self.conv_seg_kernel),
+            dtype=feats.dtype,
         )(feats)
+        # loss / fusion consumers always see fp32
+        feats = feats.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
         emb = camera_semantic_embeddings(feats, logits, batch_size)
         return {
             "image_features": feats,

@@ -25,17 +25,17 @@ class SCConv(nn.Module):
         # k2: avgpool_r -> conv3x3 -> BN, upsampled back
         r = self.pooling_r
         pooled = nn.avg_pool(x, (r, r), strides=(r, r))
-        k2 = conv(self.planes, 3)(pooled)
+        k2 = conv(self.planes, 3, dtype=x.dtype)(pooled)
         k2 = MaskedBatchNorm()(k2, train=train)
         k2 = jax.image.resize(
             k2, (x.shape[0], x.shape[1], x.shape[2], self.planes), "bilinear"
         )
         gate = jax.nn.sigmoid(identity + k2)
         # k3 gated, then k4
-        k3 = conv(self.planes, 3)(x)
+        k3 = conv(self.planes, 3, dtype=x.dtype)(x)
         k3 = MaskedBatchNorm()(k3, train=train)
         out = k3 * gate
-        out = conv(self.planes, 3)(out)
+        out = conv(self.planes, 3, dtype=x.dtype)(out)
         out = MaskedBatchNorm()(out, train=train)
         return out
 
@@ -50,19 +50,19 @@ class SCBottleneck(nn.Module):
         group_width = int(self.planes * (self.bottleneck_width / 64.0))
         residual = x
 
-        a = conv(group_width, 1)(x)
+        a = conv(group_width, 1, dtype=x.dtype)(x)
         a = MaskedBatchNorm()(a, train=train)
         a = jax.nn.relu(a)
-        b = conv(group_width, 1)(x)
+        b = conv(group_width, 1, dtype=x.dtype)(x)
         b = MaskedBatchNorm()(b, train=train)
         b = jax.nn.relu(b)
 
-        a = conv(group_width, 3)(a)
+        a = conv(group_width, 3, dtype=x.dtype)(a)
         a = MaskedBatchNorm()(a, train=train)
         a = jax.nn.relu(a)
         b = SCConv(group_width, pooling_r=self.pooling_r)(b, train)
         b = jax.nn.relu(b)
 
-        out = conv(self.planes, 1)(jnp.concatenate([a, b], axis=-1))
+        out = conv(self.planes, 1, dtype=x.dtype)(jnp.concatenate([a, b], axis=-1))
         out = MaskedBatchNorm()(out, train=train)
         return jax.nn.relu(out + residual)

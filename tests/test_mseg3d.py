@@ -234,3 +234,57 @@ def test_mseg3d_full_remat_matches(setup):
         # atol floor 1e-7: leaves whose grads are numerically zero
         # (max ~1e-9, dead branches) reorder-noise above any rtol
         assert np.abs(a - b).max() <= 2e-5 * np.abs(a).max() + 1e-7
+
+
+def test_img_branch_bf16_mixed_precision(setup):
+    """compute_dtype="bfloat16" on HRNet + FCNMSeg3DHead: params stay fp32
+    (identical tree), outputs come back fp32 and track the fp32 branch
+    within bf16 tolerance; grads flow and are finite."""
+    model, variables, ex = setup
+    cfg = model_cfg()
+    cfg["img_backbone"]["compute_dtype"] = "bfloat16"
+    cfg["img_head"]["compute_dtype"] = "bfloat16"
+    model_h = build_detector(cfg)
+    var_h = model_h.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        ex, train=False,
+    )
+    paths = lambda v: set(
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(v)[0])
+    assert paths(var_h) == paths(variables)
+    for leaf in jax.tree_util.tree_leaves(var_h["params"]):
+        assert leaf.dtype == jnp.float32
+
+    def img_out(m, v):
+        B, ncam = ex["images"].shape[:2]
+        imgs = ex["images"].reshape(B * ncam, *ex["images"].shape[2:])
+
+        def fwd(mdl, imgs):
+            f = mdl.img_backbone_mod(imgs, train=False)
+            return mdl.img_head_mod(f, batch_size=B, train=False)
+
+        return m.apply(v, imgs, method=fwd)
+
+    r32 = img_out(model, variables)
+    rh = img_out(model_h, variables)  # same fp32 params
+    for key in ("image_features", "image_logits",
+                "camera_semantic_embeddings"):
+        assert rh[key].dtype == jnp.float32, key
+        a, b = np.asarray(r32[key]), np.asarray(rh[key])
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() <= 0.1 * scale, key
+
+    def loss_fn(p):
+        (ret, bat), _ = model_h.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, ex,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        return model_h.loss(ret, bat)[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gsum = sum(float(jnp.abs(l).sum())
+               for l in jax.tree_util.tree_leaves(grads))
+    assert gsum > 0 and np.isfinite(gsum)
