@@ -1,6 +1,8 @@
 """SegMSeg3DNet end-to-end smoke test: tiny HRNet + fusion head on
 synthetic multi-camera scans."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -236,83 +238,25 @@ def test_mseg3d_full_remat_matches(setup):
         assert np.abs(a - b).max() <= 2e-5 * np.abs(a).max() + 1e-7
 
 
-def test_img_branch_bf16_mixed_precision(setup):
+def test_img_branch_bf16_mixed_precision():
     """compute_dtype="bfloat16" on HRNet + FCNMSeg3DHead: params stay fp32
     (identical tree), outputs come back fp32 and track the fp32 branch
     within bf16 tolerance; grads flow and are finite.
 
-    The persistent compile cache is disabled for this test: serializing /
-    deserializing the bf16-conv executables aborts the process when torch
-    extensions are loaded by earlier tests in the same pytest run (JAX
-    compile-cache flake; standalone runs are unaffected either way)."""
-    model, variables, ex = setup
-    import jax._src.config as _jcfg  # noqa: F401  (documenting intent)
-    old_cache = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    try:
-        _run_img_bf16_checks(model, variables, ex)
-    finally:
-        jax.config.update("jax_compilation_cache_dir", old_cache)
+    Runs in a FRESH subprocess (tests/_bf16_test_body.py): compiling the
+    bf16-dtype conv programs on the XLA CPU backend segfaults
+    nondeterministically deep inside a long pytest process (observed in
+    compile, cache-read and cache-write phases across three full-suite
+    runs) while the identical programs always pass in a fresh
+    interpreter. TPU is the production backend for these programs."""
+    import subprocess
+    import sys
 
-
-def _run_img_bf16_checks(model, variables, ex):
-    cfg = model_cfg()
-    cfg["img_backbone"]["compute_dtype"] = "bfloat16"
-    cfg["img_head"]["compute_dtype"] = "bfloat16"
-    model_h = build_detector(cfg)
-    var_h = model_h.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        ex, train=False,
+    body = os.path.join(os.path.dirname(__file__), "_bf16_test_body.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, body], env=env, capture_output=True, text=True,
+        timeout=900,
     )
-    paths = lambda v: set(
-        jax.tree_util.keystr(p)
-        for p, _ in jax.tree_util.tree_flatten_with_path(v)[0])
-    assert paths(var_h) == paths(variables)
-    for leaf in jax.tree_util.tree_leaves(var_h["params"]):
-        assert leaf.dtype == jnp.float32
-
-    def img_out(m, v):
-        B, ncam = ex["images"].shape[:2]
-        imgs = ex["images"].reshape(B * ncam, *ex["images"].shape[2:])
-
-        def fwd(mdl, imgs):
-            f = mdl.img_backbone_mod(imgs, train=False)
-            return mdl.img_head_mod(f, batch_size=B, train=False)
-
-        return m.apply(v, imgs, method=fwd)
-
-    r32 = img_out(model, variables)
-    rh = img_out(model_h, variables)  # same fp32 params
-    for key in ("image_features", "image_logits",
-                "camera_semantic_embeddings"):
-        assert rh[key].dtype == jnp.float32, key
-        a, b = np.asarray(r32[key]), np.asarray(rh[key])
-        scale = max(np.abs(a).max(), 1e-3)
-        assert np.abs(a - b).max() <= 0.1 * scale, key
-
-    # Grads flow through the bf16 convs: differentiate the IMAGE BRANCH
-    # only (the subtree bf16 touches). The full-model grad program is
-    # covered by test_mseg3d_full_remat_matches; adding a second full
-    # grad compile here triggered a JAX compile-cache (de)serialization
-    # segfault inside full-suite runs and tripled the test's runtime.
-    B, ncam = ex["images"].shape[:2]
-    imgs = ex["images"].reshape(B * ncam, *ex["images"].shape[2:])
-
-    def loss_fn(p):
-        def fwd(mdl, imgs):
-            f = mdl.img_backbone_mod(imgs, train=True)
-            out = mdl.img_head_mod(f, batch_size=B, train=True)
-            return out["image_logits"]
-
-        logits, _ = model_h.apply(
-            {"params": p, "batch_stats": variables["batch_stats"]}, imgs,
-            method=fwd, mutable=["batch_stats"],
-            rngs={"dropout": jax.random.PRNGKey(2)},
-        )
-        return jnp.mean(logits ** 2)
-
-    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
-    assert np.isfinite(float(loss))
-    gsum = sum(float(jnp.abs(l).sum())
-               for l in jax.tree_util.tree_leaves(grads))
-    assert gsum > 0 and np.isfinite(gsum)
+    assert res.returncode == 0, f"bf16 body failed:\n{res.stdout}\n{res.stderr}"
+    assert "BF16-OK" in res.stdout
