@@ -44,6 +44,11 @@ fcn_head = dict(
     concat_input=False,
     loss_weight=0.5,
 )
+# TPU mixed precision (optional, off by default to match the reference
+# fp32 recipe): bf16 activations through HRNet + FCN convs, fp32
+# params/BN/outputs (tests/test_mseg3d.py::test_img_branch_bf16...):
+#   hrnet_w18["compute_dtype"] = "bfloat16"
+#   fcn_head["compute_dtype"] = "bfloat16"
 
 model = dict(
     type="SegMSeg3DNet",

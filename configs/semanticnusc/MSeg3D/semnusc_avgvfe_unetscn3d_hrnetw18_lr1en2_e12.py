@@ -39,6 +39,12 @@ fcn_head = dict(
     in_index=(0, 1, 2, 3), in_channels=(18, 36, 72, 144), num_convs=2,
     channels=48, concat_input=False, loss_weight=0.5,
 )
+# TPU mixed precision (optional, off by default to match the reference
+# fp32 recipe): run the HRNet + FCN convs with bf16 activations on the
+# MXU's native path while params / BN statistics / branch outputs stay
+# fp32 (tests/test_mseg3d.py::test_img_branch_bf16_mixed_precision):
+#   hrnet_w18["compute_dtype"] = "bfloat16"
+#   fcn_head["compute_dtype"] = "bfloat16"
 
 model = dict(
     type="SegMSeg3DNet",
