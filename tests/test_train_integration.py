@@ -387,3 +387,30 @@ def test_group_aware_sampler():
     s_none = EpochSampler(37, 4, shuffle=True, seed=3)
     np.testing.assert_array_equal(s_uni.epoch_indices(0),
                                   s_none.epoch_indices(0))
+
+
+def test_warm_cache_cli(tmp_path):
+    """tools/warm_cache.py AOT-compiles train+eval for a config with no
+    dataset and populates the persistent cache (compile-time mitigation;
+    the reference's spconv JIT has no such wall, so warming is the
+    operational equivalent)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = os.path.join(
+        repo, "configs/semantickitti/MSeg3D",
+        "semkitti_avgvfe_unetscn3d_lidarbaseline_lr1en2_e12.py")
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache, exist_ok=True)
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/warm_cache.py"), cfg,
+         "--device", "cpu", "--batch_size", "1", "--max_voxels", "2048",
+         "--max_points", "2048", "--cache_dir", cache],
+        capture_output=True, text=True, timeout=1500,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "train step compiled" in res.stdout
+    assert "eval step compiled" in res.stdout
+    assert len(os.listdir(cache)) > 0
