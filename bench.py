@@ -32,6 +32,30 @@ import numpy as np
 RPC_FLOOR_S = 0.0255
 REPS = 10
 
+# Peak MXU throughput for MFU accounting (VERDICT r3 item 2). jax.devices()
+# on this image reports "TPU v5 lite" (v5e): 197 TFLOP/s bf16 / 98.5 fp32
+# (public spec, cloud.google.com/tpu/docs/v5e). MFU is reported against the
+# bf16 peak — the chip's headline number and the scaling-book convention —
+# so a pure-fp32 program tops out at 0.5 by construction.
+PEAK_FLOPS = {"bf16": 197e12, "fp32": 98.5e12}
+
+
+def forward_flops(model, variables, ex, ishape):
+    """Exact HLO flops of ONE jitted forward (utils/flops.count_flops)."""
+    from lidarseg3d_tpu.utils.flops import count_flops
+
+    def fwd(variables, e):
+        e = dict(e)
+        e["input_shape"] = ishape
+        ret, bat = model.apply(variables, e, train=False)
+        return model.predict(ret, bat)["pred_point_sem_labels"]
+
+    try:
+        return count_flops(fwd, variables, ex)["flops"]
+    except Exception as exn:  # cost analysis is advisory; never fail bench
+        sys.stderr.write(f"flops analysis failed: {exn}\n")
+        return -1.0
+
 
 def bench_model(model, ex, ishape, measure_p50=True):
     import jax
@@ -87,7 +111,7 @@ def bench_model(model, ex, ishape, measure_p50=True):
             int(one(variables, ex))
             lats.append(time.time() - t0 - RPC_FLOOR_S)
         p50_ms = float(np.percentile(lats, 50) * 1000)
-    return compile_s, per_scan, p50_ms, v
+    return compile_s, per_scan, p50_ms, v, variables
 
 
 def main():
@@ -123,16 +147,20 @@ def main():
     batch6 = _synthetic_mseg3d_batch(1, V6, N6, img_hw=(640, 960), ncam=6,
                                      seed=0, pcr=PCR6, vsz=VSZ6)
     ex6 = {k: jnp.asarray(v) for k, v in batch6.items() if k != "metadata"}
-    c6, s6, _, v6 = bench_model(model6, ex6, ishape6, measure_p50=False)
+    c6, s6, _, v6, vars6 = bench_model(model6, ex6, ishape6, measure_p50=False)
+    fl6 = forward_flops(model6, vars6, ex6, ishape6)
+    mfu6 = fl6 / s6 / PEAK_FLOPS["bf16"] if fl6 > 0 else -1.0
     sys.stderr.write(
         f"semnusc 6cam: compile {c6:.1f}s; per-scan {s6*1000:.1f} ms "
-        f"(checksum {v6})\n")
+        f"(checksum {v6}); {fl6/1e9:.1f} GFLOP/scan, MFU {mfu6:.3f}\n")
     print(json.dumps({
         "metric": "semnusc_mseg3d_6cam_fullscan_inference_throughput",
         "value": round(1.0 / s6, 3),
         "unit": "scans/sec/chip",
         "vs_baseline": round(1.0 / s6 / 10.0, 3),
         "compile_s": round(c6, 1),
+        "gflops_per_scan": round(fl6 / 1e9, 1),
+        "mfu": round(mfu6, 4),
     }), flush=True)
 
     # --- primary: semkitti MSeg3D, 1 camera at 384x1280 ---
@@ -140,12 +168,15 @@ def main():
     model = build_detector(_mseg3d_model_cfg(ratio=2))
     batch = _synthetic_mseg3d_batch(1, V, N, seed=0)
     ex = {k: jnp.asarray(v) for k, v in batch.items() if k != "metadata"}
-    compile_s, per_scan, p50_ms, v = bench_model(model, ex, ishape)
+    compile_s, per_scan, p50_ms, v, variables = bench_model(model, ex, ishape)
     scans_per_sec = 1.0 / per_scan
+    fl = forward_flops(model, variables, ex, ishape)
+    mfu = fl / per_scan / PEAK_FLOPS["bf16"] if fl > 0 else -1.0
 
     sys.stderr.write(
         f"compile {compile_s:.1f}s; per-scan {per_scan*1000:.1f} ms; "
-        f"p50 latency {p50_ms:.1f} ms (checksum {v})\n"
+        f"p50 latency {p50_ms:.1f} ms (checksum {v}); "
+        f"{fl/1e9:.1f} GFLOP/scan, MFU {mfu:.3f}\n"
     )
     print(json.dumps({
         "metric": "mseg3d_semkitti_fullscan_inference_throughput",
@@ -154,7 +185,10 @@ def main():
         "vs_baseline": round(scans_per_sec / 10.0, 3),
         "p50_latency_ms": round(p50_ms, 1),
         "compile_s": round(compile_s, 1),
+        "gflops_per_scan": round(fl / 1e9, 1),
+        "mfu": round(mfu, 4),
         "semnusc_6cam_scans_per_sec": round(1.0 / s6, 3),
+        "semnusc_6cam_mfu": round(mfu6, 4),
     }))
 
 

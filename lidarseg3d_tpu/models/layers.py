@@ -37,8 +37,11 @@ class TorchLinear(nn.Module):
     def __call__(self, x):
         in_f = x.shape[-1]
         kernel = self.param("kernel", linear_kernel_init, (in_f, self.features))
+        # accumulate in >= fp32 (bf16 inputs accumulate fp32 on the MXU;
+        # fp64 inputs — the train-parity oracle path — stay fp64)
+        acc_t = jnp.promote_types(x.dtype, jnp.float32)
         y = jnp.einsum(
-            "...c,co->...o", x, kernel, preferred_element_type=jnp.float32
+            "...c,co->...o", x, kernel, preferred_element_type=acc_t
         ).astype(x.dtype)
         if self.use_bias:
             bias = self.param(
@@ -65,21 +68,24 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, train: bool = True):
         C = x.shape[-1]
+        # statistics dtype: fp32 floor (bf16 activations use fp32 stats as
+        # torch does), fp64 inputs (train-parity oracle) keep fp64
+        sdt = jnp.promote_types(x.dtype, jnp.float32)
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
         ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+            "batch_stats", "mean", lambda: jnp.zeros((C,), sdt)
         )
         ra_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+            "batch_stats", "var", lambda: jnp.ones((C,), sdt)
         )
 
         if train:
-            xf = x.astype(jnp.float32)
+            xf = x.astype(sdt)
             if mask is None:
-                mf = jnp.ones(x.shape[:-1], jnp.float32)[..., None]
+                mf = jnp.ones(x.shape[:-1], sdt)[..., None]
             else:
-                mf = mask.astype(jnp.float32)[..., None]
+                mf = mask.astype(sdt)[..., None]
             cnt = jnp.maximum(jnp.sum(mf), 1.0)
             mean = jnp.sum(xf * mf, axis=tuple(range(x.ndim - 1))) / cnt
             var = (
@@ -93,7 +99,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = (x.astype(sdt) - mean) * jax.lax.rsqrt(var + self.eps)
         return (y * scale + bias).astype(x.dtype)
 
 

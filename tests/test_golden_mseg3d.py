@@ -26,6 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full tier only (pytest -m "")
 import torch
 
 from lidarseg3d_tpu.models import build_detector, build_img_backbone

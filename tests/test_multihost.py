@@ -28,6 +28,8 @@ import tempfile
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full tier only (pytest -m "")
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""

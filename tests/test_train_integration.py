@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full tier only (pytest -m "")
+
 from lidarseg3d_tpu.datasets import build_dataset, SegDataLoader
 from lidarseg3d_tpu.datasets.semantickitti import metadata as meta
 from lidarseg3d_tpu.models import build_detector
