@@ -38,11 +38,21 @@ def run_det_eval(model, state, loader, input_shape, logger=None,
             keep["velocity"] = out["velocity"]
         return keep
 
+    # double-flip TTA: 4 batch rows (flip variants) merge into ONE
+    # prediction row, and variants share their frame's metadata
+    stride = 4 if (test_cfg or {}).get("double_flip") else 1
+
     detections = {}
     for it, batch in enumerate(loader.epoch(0)):
-        dev_batch = example_to_device(pad_batch_rows(batch, n_dev), mesh)
+        if stride > 1:
+            assert len(batch["metadata"]) % stride == 0, (
+                "double_flip batches must hold whole groups of 4 variants")
+        # pad to a multiple of n_dev*stride so each device shard holds
+        # whole flip groups
+        dev_batch = example_to_device(
+            pad_batch_rows(batch, n_dev * stride), mesh)
         out = mesh_lib.fetch_local_rows(step(state, dev_batch))
-        for b, md in enumerate(batch["metadata"]):
+        for b, md in enumerate(batch["metadata"][::stride]):
             token = (md or {}).get("token", f"frame_{it}_{b}")
             det = {
                 "box3d_lidar": np.asarray(out["box3d_lidar"][b]),

@@ -252,6 +252,35 @@ class DetAssignLabel:
 
 
 @PIPELINES.register_module
+class DoubleFlip:
+    """Detection double-flip TTA: append the y-flip (y=-y), x-flip (x=-x)
+    and xy-flip copies of the point cloud as TTA variants 1..3 (the fixed
+    order CenterHead._double_flip_maps un-flips). SegVoxelization voxelizes
+    each variant; DetReformat emits 4 consecutive batch rows per frame.
+    Reference: /root/reference/det3d/datasets/pipelines/test_aug.py:8-32.
+    """
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, sample, info):
+        pts = sample["points"]
+        y = pts.copy()
+        y[:, 1] = -y[:, 1]
+        x = pts.copy()
+        x[:, 0] = -x[:, 0]
+        xy = pts.copy()
+        xy[:, 0] = -xy[:, 0]
+        xy[:, 1] = -xy[:, 1]
+        sample["tta_1_points"] = y
+        sample["tta_2_points"] = x
+        sample["tta_3_points"] = xy
+        sample["num_tta_transforms"] = 4
+        sample["double_flip"] = True
+        return sample, info
+
+
+@PIPELINES.register_module
 class DetReformat:
     def __init__(self, **kwargs):
         pass
@@ -269,6 +298,18 @@ class DetReformat:
         for k in ("det_targets", "gt_boxes_and_cls"):
             if k in sample:
                 frame[k] = sample[k]
+        if sample.get("num_tta_transforms", 0) > 1 and "voxels" in sample:
+            variants = [frame]
+            for i in range(1, sample["num_tta_transforms"]):
+                v = sample[f"tta_{i}_voxels"]
+                variants.append({
+                    "points": sample[f"tta_{i}_points"].astype(np.float32),
+                    "voxels": v["voxels"].astype(np.float32),
+                    "coordinates": v["coordinates"],
+                    "num_points_per_voxel": v["num_points"],
+                    "metadata": frame["metadata"],
+                })
+            return variants, info
         return frame, info
 
 

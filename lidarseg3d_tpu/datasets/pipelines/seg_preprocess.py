@@ -125,8 +125,13 @@ class SegVoxelization:
             size=np.asarray(self.voxel_size, np.float32),
         )
 
-        if self.tta_flag:
-            for i in range(1, self.num_tta_transforms):
+        # TTA variants: configured on this stage (tta_flag) or requested by
+        # an upstream stage on the sample (e.g. the detection DoubleFlip)
+        ntta = sample.get(
+            "num_tta_transforms",
+            self.num_tta_transforms if self.tta_flag else 0)
+        if ntta > 1:
+            for i in range(1, ntta):
                 v, c, n = self.voxel_generator.generate(
                     sample[f"tta_{i}_points"], max_voxels=max_voxels
                 )

@@ -259,22 +259,80 @@ class CenterHead(nn.Module):
         return total, ldict
 
     @staticmethod
+    def _double_flip_maps(ret):
+        """Merge a group-of-4 double-flip batch back to one prediction.
+
+        Rows are ordered (orig, yflip: y=-y, xflip: x=-x, xyflip) — the
+        reference's DoubleFlip pipeline stage + test-time merge
+        (/root/reference/det3d/datasets/pipelines/test_aug.py:8-32,
+        models/bbox_heads/center_head.py:301-380). Maps are NHWC with H
+        the BEV y axis: un-flip each variant's map, fix the
+        sign/sub-cell-offset channels, and average in probability space
+        (hm after sigmoid, dim after exp, rot as (sin, cos) components).
+
+        Returns (hm, height, dim, reg, rots, rotc, vel) at batch B/4.
+        """
+        def grp(t):
+            B = t.shape[0]
+            assert B % 4 == 0, f"double_flip batch must be 4*frames, got {B}"
+            return t.reshape(B // 4, 4, *t.shape[1:])
+
+        def unflip(t):
+            return (t[:, 0], jnp.flip(t[:, 1], 1), jnp.flip(t[:, 2], 2),
+                    jnp.flip(t[:, 3], (1, 2)))
+
+        hm = jnp.mean(jnp.stack(unflip(grp(jax.nn.sigmoid(ret["hm"]))), 1), 1)
+        height = jnp.mean(
+            jnp.stack(unflip(grp(ret["height"])), 1), 1)
+        dim = jnp.mean(jnp.stack(unflip(grp(jnp.exp(ret["dim"]))), 1), 1)
+
+        r0, r1, r2, r3 = unflip(grp(ret["reg"]))
+        r1 = jnp.concatenate([r1[..., :1], 1.0 - r1[..., 1:2]], -1)
+        r2 = jnp.concatenate([1.0 - r2[..., :1], r2[..., 1:2]], -1)
+        r3 = 1.0 - r3
+        reg = (r0 + r1 + r2 + r3) / 4.0
+
+        s0, s1, s2, s3 = unflip(grp(ret["rot"][..., 0:1]))
+        c0, c1, c2, c3 = unflip(grp(ret["rot"][..., 1:2]))
+        rots = (s0 + s1 - s2 - s3) / 4.0
+        rotc = (c0 - c1 + c2 - c3) / 4.0
+
+        vel = None
+        if "vel" in ret:
+            v0, v1, v2, v3 = unflip(grp(ret["vel"]))
+            flip_x = jnp.asarray([-1.0, 1.0])
+            flip_y = jnp.asarray([1.0, -1.0])
+            vel = (v0 + v1 * flip_y + v2 * flip_x - v3) / 4.0
+        return hm, height, dim, reg, rots, rotc, vel
+
+    @staticmethod
     def decode(rets, voxel_size, pc_range, out_factor=8, k=100,
                score_threshold=0.1, nms_iou=0.5, max_out=83,
-               nms_type="rotated", min_radius=None):
+               nms_type="rotated", min_radius=None, double_flip=False):
         """Per-task top-K decode + BEV NMS.
 
         nms_type: "rotated" (iou3d semantics) or "circle" (CenterPoint
         circle_nms, center-distance gate; reference center_head.py:473-476
         with per-task min_radius from test_cfg). With a 'vel' head, each
         task dict additionally carries velocity [B, max_out, 2]
-        (center_head.py:403-417).
+        (center_head.py:403-417). double_flip: the batch holds groups of 4
+        flip variants per frame; merge them first (test_aug.py TTA).
 
         Returns list of dicts(box3d [max_out, 7], scores, labels, valid
         [, velocity])."""
         outs = []
         for ti, ret in enumerate(rets):
-            hm = jax.nn.sigmoid(ret["hm"])
+            if double_flip:
+                (hm, height_m, dim_m, reg_m, rots_m, rotc_m,
+                 vel_m) = CenterHead._double_flip_maps(ret)
+            else:
+                hm = jax.nn.sigmoid(ret["hm"])
+                height_m = ret["height"]
+                dim_m = jnp.exp(ret["dim"])
+                reg_m = ret["reg"]
+                rots_m = ret["rot"][..., 0:1]
+                rotc_m = ret["rot"][..., 1:2]
+                vel_m = ret.get("vel")
             B, H, W, C = hm.shape
             flat = hm.reshape(B, H * W * C)
             scores, idx = jax.lax.top_k(flat, k)
@@ -289,18 +347,19 @@ class CenterHead(nn.Module):
                     f, jnp.broadcast_to(pos[..., None],
                                         (B, k, t.shape[-1])), axis=1)
 
-            reg = pick(ret["reg"])
-            height = pick(ret["height"])[..., 0]
-            dim = jnp.exp(pick(ret["dim"]))
-            rot = pick(ret["rot"])
-            yaw = jnp.arctan2(rot[..., 0], rot[..., 1])
+            reg = pick(reg_m)
+            height = pick(height_m)[..., 0]
+            dim = pick(dim_m)
+            rot_s = pick(rots_m)
+            rot_c = pick(rotc_m)
+            yaw = jnp.arctan2(rot_s[..., 0], rot_c[..., 0])
             x = (xs + reg[..., 0]) * out_factor * voxel_size[0] + pc_range[0]
             y = (ys + reg[..., 1]) * out_factor * voxel_size[1] + pc_range[1]
             boxes7 = jnp.stack(
                 [x, y, height, dim[..., 0], dim[..., 1], dim[..., 2], yaw],
                 axis=-1,
             )
-            vel = pick(ret["vel"]) if "vel" in ret else None
+            vel = pick(vel_m) if vel_m is not None else None
 
             radius = None
             if nms_type == "circle":

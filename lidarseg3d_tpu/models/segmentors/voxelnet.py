@@ -84,6 +84,9 @@ class VoxelNet(nn.Module):
             # reference center_head.py:473-476)
             nms_type="circle" if cfg.get("circular_nms") else "rotated",
             min_radius=cfg.get("min_radius"),
+            # double-flip TTA: batch rows come in groups of 4 flip variants
+            # (DoubleFlip pipeline stage); merge before decoding
+            double_flip=bool(cfg.get("double_flip", False)),
         )
         offsets, off = [], 0
         for t in dict(self.bbox_head).get("tasks", [{}] * len(outs)):

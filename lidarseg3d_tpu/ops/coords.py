@@ -407,11 +407,13 @@ def lookup(sorted_keys, perm, qkeys, pad_index=None):
     )
 
 
-# Grids up to this many cells deduplicate via dense scatter + cumsum
-# (sort-free); larger grids fall back to jnp.unique's sort. 8M cells =
-# 32 MB/sample of transient int32 — the same ballpark the rank/dense
-# tables already spend on such grids.
-UNIQUE_DENSE_MAX_CELLS = 1 << 23
+# Dense (sort-free) dedup pays one ncells-element scatter, so it only wins
+# when the grid is in the same ballpark as the candidate count; beyond
+# UNIQUE_DENSE_RATIO * V the sort path is cheaper (measured on v5e at the
+# nuScenes 0.1 m grid: dense dedup onto the 5.5 M-cell stage-2 grid cost
+# 27.6 ms — the ncells scatter at ~5 ns/element — vs ~1 ms to sort the
+# 120 k candidates; scratch/mb_books.py).
+UNIQUE_DENSE_RATIO = 4
 
 
 def unique_coords(coords, valid_mask, spatial_shape, capacity):
@@ -423,12 +425,15 @@ def unique_coords(coords, valid_mask, spatial_shape, capacity):
 
     Small grids skip the sort entirely: scatter an occupancy bit per cell,
     rank the set cells by cumulative sum, and scatter each cell id to its
-    rank — O(ncells) bandwidth instead of an O(V log V) sort.
+    rank — O(ncells) bandwidth instead of an O(V log V) sort. Large grids
+    sort the V candidates instead: every op is O(V), independent of grid
+    size.
     """
     keys = make_table_keys(coords, valid_mask, spatial_shape)
     nc = int(np.prod([int(s) for s in spatial_shape]))
+    V = keys.shape[-1]
 
-    if nc <= UNIQUE_DENSE_MAX_CELLS:
+    if nc <= UNIQUE_DENSE_RATIO * V:
 
         def one(k):
             idx = jnp.where(k == INVALID_KEY, nc, k)
@@ -446,9 +451,17 @@ def unique_coords(coords, valid_mask, spatial_shape, capacity):
     else:
 
         def one(k):
-            uk = jnp.unique(k, size=capacity, fill_value=INVALID_KEY)
-            n = jnp.sum(uk != INVALID_KEY).astype(jnp.int32)
-            return uk.astype(jnp.int32), n
+            sk = jnp.sort(k)  # INVALID_KEY pads sort to the end
+            first = (sk != jnp.concatenate(
+                [jnp.full((1,), -1, jnp.int32), sk[:-1]])
+            ) & (sk != INVALID_KEY)
+            ranks = jnp.cumsum(first.astype(jnp.int32))  # 1-based at firsts
+            total = ranks[-1]
+            pos = jnp.where(first & (ranks <= capacity), ranks - 1, capacity)
+            out = jnp.full((capacity + 1,), INVALID_KEY, jnp.int32)
+            out = out.at[pos].set(sk, mode="drop")
+            return out[:capacity], jnp.minimum(total, capacity).astype(
+                jnp.int32)
 
     ukeys, num = jax.vmap(one)(keys)
     out_coords = delinearize(ukeys, spatial_shape)

@@ -214,3 +214,92 @@ class FlipXThenNo:
     def random(self):
         self.calls += 1
         return 0.1 if self.calls == 1 else 0.9
+
+
+def test_double_flip_merge_recovers_original_decode():
+    """Four CONSISTENT flip variants (what the network would output on the
+    flipped point clouds) must merge back to exactly the single-frame
+    prediction: decode(variants, double_flip=True) == decode(original).
+    Pins the un-flip axes, the reg 1-offset fixes, the rot sign fixes and
+    the velocity sign fixes (test_aug.py + reference center_head.py:301-380).
+    """
+    from lidarseg3d_tpu.models.bbox_heads.center_head import CenterHead
+
+    rng = np.random.default_rng(11)
+    B, H, W, C = 2, 16, 24, 3
+
+    def r(*shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    ret0 = {
+        "hm": r(B, H, W, C), "reg": rng.uniform(0, 1, (B, H, W, 2)).astype(
+            np.float32),
+        "height": r(B, H, W, 1), "dim": r(B, H, W, 3) * 0.1,
+        "rot": r(B, H, W, 2), "vel": r(B, H, W, 2),
+    }
+
+    def fH(t):
+        return t[:, ::-1]
+
+    def fW(t):
+        return t[:, :, ::-1]
+
+    def variant_y(d):  # network output on y=-y input
+        out = {k: fH(v).copy() for k, v in d.items()}
+        out["reg"][..., 1] = 1.0 - out["reg"][..., 1]
+        out["rot"][..., 1] = -out["rot"][..., 1]  # cos flips
+        out["vel"][..., 1] = -out["vel"][..., 1]
+        return out
+
+    def variant_x(d):  # network output on x=-x input
+        out = {k: fW(v).copy() for k, v in d.items()}
+        out["reg"][..., 0] = 1.0 - out["reg"][..., 0]
+        out["rot"][..., 0] = -out["rot"][..., 0]  # sin flips
+        out["vel"][..., 0] = -out["vel"][..., 0]
+        return out
+
+    v0, v1, v2, v3 = ret0, variant_y(ret0), variant_x(ret0), variant_x(
+        variant_y(ret0))
+    stacked = {
+        k: jnp.asarray(np.stack([v0[k], v1[k], v2[k], v3[k]], axis=1)
+                       .reshape(B * 4, H, W, v0[k].shape[-1]))
+        for k in ret0
+    }
+
+    kw = dict(voxel_size=(0.2, 0.2), pc_range=(-10.0, -10.0), out_factor=4,
+              k=20, score_threshold=0.05, nms_iou=0.7, max_out=10)
+    ref = CenterHead.decode([{k: jnp.asarray(v) for k, v in ret0.items()}],
+                            **kw)[0]
+    got = CenterHead.decode([stacked], double_flip=True, **kw)[0]
+    for key in ("box3d", "scores", "labels", "valid", "velocity"):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(ref[key]), rtol=1e-5,
+                                   atol=1e-5, err_msg=key)
+
+
+def test_double_flip_pipeline_emits_four_variant_frames():
+    """DoubleFlip -> SegVoxelization -> DetReformat yields 4 consecutive
+    frames whose points are the (orig, y-, x-, xy-) flips."""
+    from lidarseg3d_tpu.datasets.pipelines.det_pipeline import (
+        DetReformat, DoubleFlip)
+    from lidarseg3d_tpu.datasets.pipelines.seg_preprocess import (
+        SegVoxelization)
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-4, 4, (500, 5)).astype(np.float32)
+    sample = {"points": pts, "mode": "val",
+              "metadata": {"token": "t0"}}
+    info = {}
+    sample, info = DoubleFlip()(sample, info)
+    vox = SegVoxelization(cfg=dict(
+        range=[-5, -5, -2, 5, 5, 2], voxel_size=[0.5, 0.5, 0.5],
+        max_points_in_voxel=5, max_voxel_num=2000))
+    sample, info = vox(sample, info)
+    frames, info = DetReformat()(sample, info)
+    assert isinstance(frames, list) and len(frames) == 4
+    np.testing.assert_allclose(frames[1]["points"][:, 1], -pts[:, 1])
+    np.testing.assert_allclose(frames[2]["points"][:, 0], -pts[:, 0])
+    np.testing.assert_allclose(frames[3]["points"][:, :2], -pts[:, :2])
+    for fr in frames:
+        assert fr["voxels"].shape[0] > 0
+        assert fr["metadata"]["token"] == "t0"

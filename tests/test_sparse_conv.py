@@ -396,15 +396,16 @@ def test_unique_coords_dense_matches_sort():
         np.int32)
     valid = np.arange(V)[None, :] < np.array([650, 400, 0])[:, None]
     c, v = jnp.asarray(zyx), jnp.asarray(valid)
-    saved = co.UNIQUE_DENSE_MAX_CELLS
+    saved = co.UNIQUE_DENSE_RATIO
     try:
         for cap in (256, 64):
+            co.UNIQUE_DENSE_RATIO = 10**6  # force the dense path
             oc1, n1, k1 = co.unique_coords(c, v, shape, cap)
-            co.UNIQUE_DENSE_MAX_CELLS = 0  # force the sort path
+            co.UNIQUE_DENSE_RATIO = 0  # force the sort path
             oc2, n2, k2 = co.unique_coords(c, v, shape, cap)
-            co.UNIQUE_DENSE_MAX_CELLS = saved
+            co.UNIQUE_DENSE_RATIO = saved
             np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
             np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
             np.testing.assert_array_equal(np.asarray(oc1), np.asarray(oc2))
     finally:
-        co.UNIQUE_DENSE_MAX_CELLS = saved
+        co.UNIQUE_DENSE_RATIO = saved
