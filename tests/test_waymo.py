@@ -167,3 +167,73 @@ def test_waymo_two_sweep_loading(tmp_path):
     np.testing.assert_allclose(
         pts[50:, :3], objs[0]["lidars"]["points_xyz"] + [1.0, 2.0, 0.0],
         rtol=1e-5)
+
+
+def test_simple_inference_waymo_tool(tmp_path):
+    """tools/simple_inference_waymo.py end to end on a synthetic converted
+    frame pkl + a freshly-initialized checkpoint (reference parity:
+    /root/reference/tools/simple_inference_waymo.py, sans open3d window)."""
+    import pickle
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from lidarseg3d_tpu.utils.config import Config
+    from lidarseg3d_tpu.models import build_detector
+    from lidarseg3d_tpu.apis.train import save_checkpoint
+    from lidarseg3d_tpu.core.voxelize import VoxelGenerator
+    from lidarseg3d_tpu.datasets.batching import collate_segnet
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = Config.fromfile(os.path.join(repo, "configs", "tests",
+                                       "mini_waymo_voxelnet.py"))
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    pts = np.concatenate([
+        rng.uniform(-9, 9, (n, 2)), rng.uniform(-1.5, 3.5, (n, 1)),
+        rng.uniform(0, 1, (n, 2)),
+    ], axis=1).astype(np.float32)
+    frame_pkl = tmp_path / "frame0.pkl"
+    with open(frame_pkl, "wb") as f:
+        pickle.dump({"lidars": {"points_xyz": pts[:, :3],
+                                "points_feature": pts[:, 3:]}}, f)
+
+    # init a checkpoint the tool can load
+    vg_cfg = cfg.voxel_generator
+    vg = VoxelGenerator(vg_cfg["voxel_size"], vg_cfg["range"],
+                        vg_cfg["max_points_in_voxel"],
+                        vg_cfg["max_voxel_num"][1])
+    voxels, coords, npts = vg.generate(pts)
+    batch = collate_segnet([{
+        "voxels": voxels, "coordinates": coords,
+        "num_points_per_voxel": npts, "points": pts, "metadata": {},
+    }], cfg.capacity["max_voxels"], cfg.capacity["max_points"])
+    ex = {k: jnp.asarray(v) for k, v in batch.items() if k != "metadata"}
+    grid = vg.grid_size
+    ex["input_shape"] = (int(grid[2]) + 1, int(grid[1]), int(grid[0]))
+    model = build_detector(cfg.model.to_dict(), test_cfg=cfg.get("test_cfg"))
+    variables = model.init(jax.random.PRNGKey(0), ex, train=False)
+    work = tmp_path / "work"
+    save_checkpoint(str(work), {
+        "step": jnp.zeros((), jnp.int32), "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }, epoch=1)
+
+    out_pkl = tmp_path / "dets.pkl"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools",
+                                      "simple_inference_waymo.py"),
+         os.path.join(repo, "configs", "tests", "mini_waymo_voxelnet.py"),
+         "--checkpoint", str(work), "--frame", str(frame_pkl),
+         "--out", str(out_pkl), "--device", "cpu"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "detections:" in proc.stdout
+    with open(out_pkl, "rb") as f:
+        dets = pickle.load(f)
+    assert dets["box3d_lidar"].shape[-1] == 7
