@@ -145,8 +145,24 @@ def _ext_cell(coords_zyx_xext, spatial_shape):
     return (z * Y + y) * (X + 2) + xe
 
 
-def build_rank_table(coords, num_voxels, spatial_shape):
+# Tables at least this many cells build via the one-pass Pallas pack
+# kernel on TPU (ops/pallas_rank.py); smaller ones aren't worth the call
+# overhead. Measured: the XLA formulation costs 12.0 ms on the 172 MB
+# nuScenes stage-1 table (~6 passes), the kernel streams it once.
+PACK_PALLAS_MIN_CELLS = 1 << 20
+
+
+def _pack_use_pallas(nce):
+    import jax as _jax
+
+    return (nce >= PACK_PALLAS_MIN_CELLS
+            and _jax.default_backend() == "tpu")
+
+
+def build_rank_table(coords, num_voxels, spatial_shape, use_pallas=None):
     """Build the packed rank/activity table (see RankTable)."""
+    from . import pallas_rank
+
     B, V, _ = coords.shape
     Z, Y, X = (int(s) for s in spatial_shape)
     nce = Z * Y * (X + 2)
@@ -154,8 +170,13 @@ def build_rank_table(coords, num_voxels, spatial_shape):
     z, y, x = coords[..., 0], coords[..., 1], coords[..., 2]
     cell = (z * Y + y) * (X + 2) + (x + 1)
     cell = jnp.where(valid, cell, nce).astype(jnp.int32)
+    if use_pallas is None:
+        use_pallas = _pack_use_pallas(nce)
 
     def one(cell):
+        if use_pallas:
+            act = jnp.zeros((nce + 1,), jnp.int8).at[cell].set(1, mode="drop")
+            return pallas_rank.pack_rank_table(act[:nce])
         act = jnp.zeros((nce + 1,), jnp.int32).at[cell].set(1, mode="drop")
         act = act[:nce]
         # blocked prefix sum: one pass for block sums + cheap block cumsum +

@@ -104,3 +104,56 @@ def test_builders_kernel_path_matches_xla(monkeypatch, builder):
     )
     got = build()
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_pack_rank_table_kernel_matches_xla():
+    """ops/pallas_rank.pack_rank_table (interpret mode) == the XLA blocked
+    cumsum formulation, including block-boundary neighbor bits and the
+    running rank carry across 8192-cell blocks."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lidarseg3d_tpu.ops import pallas_rank
+
+    rng = np.random.default_rng(9)
+    for nce in (8192, 8192 * 3, 8192 * 2 + 777):
+        act = (rng.random(nce) < 0.02).astype(np.int8)
+        # ensure boundary cells are exercised
+        act[8191:8194] = 1
+        act[0] = 1
+        act[-1] = 1
+        got = np.asarray(pallas_rank.pack_rank_table(
+            jnp.asarray(act), interpret=True))
+        a = act.astype(np.int64)
+        rank = np.cumsum(a)
+        am = np.concatenate([[0], a[:-1]])
+        ap = np.concatenate([a[1:], [0]])
+        want = (rank << 3) | (am << 2) | (a << 1) | ap
+        np.testing.assert_array_equal(got, want.astype(np.int32),
+                                      err_msg=f"nce={nce}")
+
+
+def test_build_rank_table_pallas_path_matches_xla_path():
+    import numpy as np
+    import jax.numpy as jnp
+    from lidarseg3d_tpu.ops import coords as co
+
+    rng = np.random.default_rng(2)
+    B, V, shape = 2, 300, (4, 48, 60)
+    zyx = np.stack([rng.integers(0, s, (B, V)) for s in shape], -1).astype(
+        np.int32)
+    nv = np.array([260, 0], np.int32)
+    c, n = jnp.asarray(zyx), jnp.asarray(nv)
+    # dedupe per sample so ranks are well-defined
+    cc, nn, _ = co.unique_coords(
+        c, jnp.arange(V)[None] < n[:, None], shape, V)
+    t_xla = co.build_rank_table(cc, nn, shape, use_pallas=False)
+    from lidarseg3d_tpu.ops import pallas_rank
+    orig = pallas_rank.pack_rank_table
+    try:  # run the pallas path through the interpreter on CPU
+        pallas_rank.pack_rank_table = (
+            lambda act, interpret=False: orig(act, interpret=True))
+        t_pal = co.build_rank_table(cc, nn, shape, use_pallas=True)
+    finally:
+        pallas_rank.pack_rank_table = orig
+    np.testing.assert_array_equal(
+        np.asarray(t_pal.packed), np.asarray(t_xla.packed))
