@@ -7,74 +7,91 @@ The XLA formulation (scatter + blocked cumsum + shifts + ors) makes ~6
 passes over the table — measured 12.0 ms for the 172 MB nuScenes stage-1
 table (scratch/mb_books.py), ~25x off streaming roofline.
 
-This kernel does it in ONE pass: the grid walks 8192-cell blocks
-sequentially; each step computes the in-block prefix sum in registers
-(log-step lane shifts + a sublane prefix), adds the running carry kept in
-SMEM scratch (sequential TPU grids persist scratch across steps), forms
-the neighbor bits from one-linear-position shifts (block-boundary bits
-ride the carry / a one-block-lookahead input ref), and writes the packed
-block. Traffic = read NCE int8 + write 4*NCE bytes.
+This kernel writes the packed table in ONE output pass. XLA precomputes
+three tiny per-block scalar arrays from the bitmap (one cheap reduction
+pass over the int8 acts): the exclusive rank at each 8192-cell block start,
+and the boundary act bits on either side of each block edge. Blocks are
+then INDEPENDENT (no serial carry, full DMA pipelining), and the ~97% of
+blocks with zero active cells on realistic scans take a write-only path
+(their packed value is the block-start rank everywhere, plus at most one
+boundary am bit) — skipping the in-register prefix entirely. Non-empty
+blocks compute the in-block prefix with log-step lane rolls plus one tiny
+lower-triangular MXU matmul for the sublane prefix (narrow sublane concats
+relayout poorly in Mosaic).
 
 Reference equivalence: this is the build stage of the spconv rulebook
 replacement (see coords.RankTable; cf.
 /root/reference/det3d/models/backbones/scn_unet.py:11-30).
+
+First brought up with a serial SMEM rank carry: correct but 7.2 ms for the
+172 MB table — VPU-bound on the per-block prefix (measured; the
+block-offset + empty-skip restructure below is what makes it fast).
 """
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-SUBS = 64  # sublanes per block
+SUBS = 512  # sublanes per block: 64 pays ~1.3 us/step in grid overhead
+# (7.2 ms total at nusc scale), 256 -> 4.4 ms, 512 -> 4.2 ms (measured)
 BLK = SUBS * LANES  # 8192 cells per grid step
 
 
-def _pack_kernel(a_ref, nxt_ref, out_ref, carry_ref):
+# strict lower-triangular [SUBS, SUBS] for the sublane (row-total) prefix
+# (row counts < 2^13, exact in fp32)
+_LTRI = np.tril(np.ones((SUBS, SUBS), np.float32), -1)
+
+
+def _pack_kernel(offs_ref, pbit_ref, fbit_ref, a_ref, ltri_ref, out_ref):
     i = pl.program_id(0)
-    nb = pl.num_programs(0)
+    base = offs_ref[i]
+    tot = offs_ref[i + 1] - base
+    pb = pbit_ref[i]  # act bit of cell (block_start - 1)
+    nxt = fbit_ref[i + 1]  # act bit of the next block's first cell
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (SUBS, LANES), 0)
+    first = (lane == 0) & (sub == 0)
+    last = (lane == LANES - 1) & (sub == SUBS - 1)
 
-    @pl.when(i == 0)
-    def _init():
-        carry_ref[0] = 0  # running rank
-        carry_ref[1] = 0  # last act bit of the previous block
+    @pl.when(tot == 0)
+    def _empty():
+        out = jnp.full((SUBS, LANES), base << 3, jnp.int32)
+        out = jnp.where(first & (pb == 1), out | 4, out)
+        out = jnp.where(last & (nxt == 1), out | 1, out)
+        out_ref[...] = out
 
-    a = a_ref[...].astype(jnp.int32)  # [SUBS, LANES] 0/1
+    @pl.when(tot != 0)
+    def _full():
+        a = a_ref[...].astype(jnp.int32)  # [SUBS, LANES] 0/1
 
-    # in-block inclusive prefix sum, row-major (cell = s*LANES + l):
-    # 1) lane-dim log shifts
-    x = a
-    k = 1
-    while k < LANES:
-        x = x + jnp.concatenate(
-            [jnp.zeros((SUBS, k), jnp.int32), x[:, :-k]], axis=1)
-        k *= 2
-    # 2) exclusive sublane prefix of the row totals
-    tot = x[:, LANES - 1:LANES]  # [SUBS, 1]
-    r = tot
-    k = 1
-    while k < SUBS:
-        r = r + jnp.concatenate(
-            [jnp.zeros((k, 1), jnp.int32), r[:-k]], axis=0)
-        k *= 2
-    row_excl = r - tot  # [SUBS, 1]
-    rank = x + row_excl + carry_ref[0]
+        # in-block inclusive prefix sum, row-major (cell = s*LANES + l):
+        # lane-dim log rolls, then the sublane prefix via a tiny matmul
+        x = a
+        k = 1
+        while k < LANES:
+            x = x + jnp.where(lane >= k, pltpu.roll(x, k, 1), 0)
+            k *= 2
+        rowtot = x[:, LANES - 1:LANES].astype(jnp.float32)  # [SUBS, 1]
+        row_excl = jax.lax.dot(
+            ltri_ref[...], rowtot,
+            precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        rank = x + row_excl + base
 
-    # neighbor bits: one linear position left / right of each cell
-    lastcol = a[:, LANES - 1:LANES]  # [SUBS, 1]
-    prev_bits = jnp.concatenate(
-        [jnp.full((1, 1), carry_ref[1], jnp.int32), lastcol[:-1]], axis=0)
-    am = jnp.concatenate([prev_bits, a[:, :-1]], axis=1)
+        # neighbor bits = one linear position left / right: lane roll, with
+        # the wrapped column taken from the adjacent sublane, block-edge
+        # bits from the prefetched boundary arrays
+        a_r = pltpu.roll(a, 1, 1)
+        am = jnp.where(lane == 0, pltpu.roll(a_r, 1, 0), a_r)
+        am = jnp.where(first, pb, am)
 
-    firstcol = a[:, 0:1]
-    next_first = jnp.where(i + 1 < nb, nxt_ref[0, 0].astype(jnp.int32), 0)
-    next_bits = jnp.concatenate(
-        [firstcol[1:], jnp.full((1, 1), next_first, jnp.int32)], axis=0)
-    ap = jnp.concatenate([a[:, 1:], next_bits], axis=1)
+        a_l = pltpu.roll(a, LANES - 1, 1)  # roll left by 1
+        ap = jnp.where(lane == LANES - 1, pltpu.roll(a_l, SUBS - 1, 0), a_l)
+        ap = jnp.where(last, nxt, ap)
 
-    out_ref[...] = (rank << 3) | (am << 2) | (a << 1) | ap
-    carry_ref[0] = rank[SUBS - 1, LANES - 1]
-    carry_ref[1] = a[SUBS - 1, LANES - 1]
+        out_ref[...] = (rank << 3) | (am << 2) | (a << 1) | ap
 
 
 def pack_rank_table(act, *, interpret=False):
@@ -90,18 +107,28 @@ def pack_rank_table(act, *, interpret=False):
     a2 = act.reshape(nce_pad // LANES, LANES)
     nb = nce_pad // BLK
 
-    out = pl.pallas_call(
-        _pack_kernel,
+    blocks = act.reshape(nb, BLK)
+    tot = jnp.sum(blocks, axis=1, dtype=jnp.int32)  # [nb]
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tot)]).astype(jnp.int32)
+    fbit = jnp.concatenate(  # act of each block's first cell (+0 sentinel)
+        [blocks[:, 0].astype(jnp.int32), jnp.zeros((1,), jnp.int32)])
+    pbit = jnp.concatenate(  # act of the cell just before each block
+        [jnp.zeros((1,), jnp.int32), blocks[:-1, BLK - 1].astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((SUBS, LANES), lambda i: (i, 0)),
-            # one-block lookahead for the trailing act(c+1) bit
-            pl.BlockSpec((SUBS, LANES),
-                         lambda i: (jnp.minimum(i + 1, nb - 1), 0)),
+            pl.BlockSpec((SUBS, LANES), lambda i, *_: (i, 0)),
+            pl.BlockSpec((SUBS, SUBS), lambda i, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((SUBS, LANES), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((SUBS, LANES), lambda i, *_: (i, 0)),
+    )
+    out = pl.pallas_call(
+        _pack_kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nce_pad // LANES, LANES), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         interpret=interpret,
-    )(a2, a2)
+    )(offs, pbit, fbit, a2, jnp.asarray(_LTRI))
     return out.reshape(nce_pad)[:nce]
