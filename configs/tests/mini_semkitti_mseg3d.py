@@ -68,7 +68,10 @@ train_img_preprocessor = dict(
 val_img_preprocessor = dict(shuffle_points=False)
 voxel_generator = dict(range=point_cloud_range, voxel_size=voxel_size,
                        max_points_in_voxel=5, max_voxel_num=[1500, 1500])
-capacity = dict(max_voxels=1024, max_points=1200)
+# capacities must cover the whole scan (production configs size these >=
+# the dataset's max voxels/points; eval compares per-point predictions
+# against the FULL label file, so dropped points would break evaluation)
+capacity = dict(max_voxels=1536, max_points=1536)
 
 train_pipeline = [
     dict(type="LoadPointCloudFromFile", dataset=dataset_type, use_img=use_img),

@@ -229,13 +229,21 @@ class Reformat:
             variants = [frame]
             for i in range(1, sample["num_tta_transforms"]):
                 v = sample[f"tta_{i}_voxels"]
-                variants.append({
+                var = {
                     "points": sample[f"tta_{i}_points"].astype(np.float32),
                     "voxels": v["voxels"].astype(np.float32),
                     "coordinates": v["coordinates"],
                     "num_points_per_voxel": v["num_points"],
                     "metadata": frame["metadata"],
-                })
+                }
+                # point->pixel correspondences are computed from the ORIGINAL
+                # cloud; lidar-space TTA transforms don't move the cameras, so
+                # every variant keeps the same images + points_cuv rows (val
+                # mode never shuffles, so row alignment holds)
+                for k in ("points_cuv", "images", "images_sem_labels"):
+                    if k in frame:
+                        var[k] = frame[k]
+                variants.append(var)
             return variants, info
         return frame, info
 

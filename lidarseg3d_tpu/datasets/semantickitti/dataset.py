@@ -147,7 +147,12 @@ class SemanticKITTIDataset:
         for token, pred in detections.items():
             gt = self.get_anno_for_eval(token)["point_sem_labels"]
             pl = np.asarray(pred["pred_point_sem_labels"])
-            assert pl.shape[0] == gt.shape[0], (pl.shape, gt.shape)
+            assert pl.shape[0] == gt.shape[0], (
+                f"prediction has {pl.shape[0]} points but the label file "
+                f"has {gt.shape[0]}: the config's capacity.max_points must "
+                "cover every scan (reference evaluates ALL points; cf. "
+                "/root/reference/det3d/datasets/semantickitti/"
+                "semantickitti.py evaluation)")
             hist = hist + fast_hist_crop(pl, gt, unique_label)
         # multi-host: sum per-host shard histograms (dist.allreduce_hist
         # is the identity in single-process runs)

@@ -50,12 +50,19 @@ def grid_three_interpolate(
     C = features.shape[-1]
     if table is None:
         table = sp.dense_table(struct)
+    pv = _point_voxel_coords(points_xyz, voxel_size, point_cloud_range)
+
+    if isinstance(table, (coord_ops.RankTable, coord_ops.KeyTable)):
+        return _grid_interp_sorted(
+            points_xyz, point_valid, struct, features, voxel_size,
+            point_cloud_range, table, pv, k)
+
+    # oracle path (dense / hash tables): 27 per-delta lookups + gathered
+    # candidate centers
     centers = sp.voxel_centers(struct, voxel_size, point_cloud_range)  # [B,V,3]
     centers_flat = jnp.concatenate(
         [centers.reshape(B * V, 3), jnp.zeros((1, 3), centers.dtype)], axis=0
     )
-    pv = _point_voxel_coords(points_xyz, voxel_size, point_cloud_range)
-
     deltas = jnp.asarray(np.array(sp.make_offsets(3), np.int32) - 1)  # [27,3]
 
     def one(delta):
@@ -69,38 +76,19 @@ def grid_three_interpolate(
         return jnp.where(found, d2, jnp.inf), gidx
 
     cand_d, cand_i = jax.vmap(one)(deltas)  # [27, B, N]
+    return _interp_from_candidates(
+        cand_d, cand_i, features, point_valid, k)
 
-    # Far-point fallback (VERDICT r3 item 6): a point whose 3x3x3
-    # neighborhood holds no active voxel (capacity-dropped voxels,
-    # out-of-range points) would get ZERO features where the reference's
-    # three_nn finds the 3 global nearest. The rank table gives the two
-    # raster-order nearest active voxels for free — rank(cell)-1 is the
-    # largest active cell <= the point's own cell even on a MISS — so
-    # append them as extra candidates with their true distances: when the
-    # 27-neighborhood hits, they lose the top-k; when it misses, the point
-    # gets real (nearest-in-key-order) voxel features instead of zeros.
-    if isinstance(table, coord_ops.RankTable):
-        # only points with ZERO grid candidates use the fallback (otherwise
-        # a fallback row could duplicate a grid candidate and double-count
-        # its weight in the top-k)
-        missed = ~jnp.any(jnp.isfinite(cand_d), axis=0)  # [B, N]
-        nv = struct.num_voxels  # [B]
-        rank_m1, _ = coord_ops.lookup_rank(table, pv, extra_valid=point_valid)
-        offs = (jnp.arange(B, dtype=jnp.int32) * V)[:, None]
-        extras = []
-        for rr in (rank_m1, rank_m1 + 1):
-            row = jnp.clip(rr, 0, jnp.maximum(nv[:, None] - 1, 0))
-            ok = missed & point_valid & (nv[:, None] > 0)
-            gidx = jnp.where(ok, row + offs, B * V).astype(jnp.int32)
-            cand = jnp.take(centers_flat, gidx.reshape(-1), axis=0
-                            ).reshape(B, N, 3)
-            d2 = jnp.sum((points_xyz - cand) ** 2, axis=-1)
-            extras.append((jnp.where(ok, d2, jnp.inf), gidx))
-        cand_d = jnp.concatenate(
-            [cand_d] + [d[None] for d, _ in extras], axis=0)
-        cand_i = jnp.concatenate(
-            [cand_i] + [i[None] for _, i in extras], axis=0)
 
+def _interp_from_candidates(cand_d, cand_i, features, point_valid, k):
+    """Top-k inverse-distance blend of candidate voxel features.
+
+    cand_d/cand_i: [NC, B, N] squared distances (inf = miss) and GLOBAL
+    flat feature rows. Candidate-axis order is the tie-break order (raster
+    deltas, fallbacks last) — kept identical across all lookup paths.
+    """
+    B, N = cand_d.shape[1:]
+    C = features.shape[-1]
     neg_top, arg = jax.lax.top_k(-jnp.moveaxis(cand_d, 0, -1), k)  # [B, N, k]
     best_d = jnp.moveaxis(-neg_top, -1, 0)  # [k, B, N]
     best_i = jnp.moveaxis(
@@ -116,6 +104,97 @@ def grid_three_interpolate(
         g = jnp.take(feats_flat, best_i[j].reshape(-1), axis=0).reshape(B, N, C)
         out = out + g * w[j][..., None]
     return out * point_valid[..., None].astype(out.dtype)
+
+
+def _grid_interp_sorted(points_xyz, point_valid, struct, features,
+                        voxel_size, point_cloud_range, table, pv, k):
+    """Rank/Key-table fast path: sort points by cell key once, resolve all
+    27 candidates with NINE grouped triple-lookups (sparse.py
+    _lookup_rank3_groups — the Pallas sorted-stream / merge kernels apply,
+    vs 27 XLA element gathers), compute candidate centers ANALYTICALLY
+    (a found candidate's voxel coords are exactly pv + delta, so no
+    [B*V,3] center gathers at all), blend in sorted space, and un-permute
+    the final features with one row scatter.
+
+    Replaces the 27-lookup + 27-center-gather formulation measured at
+    45.9 ms of the 48.8 ms semnusc flagship point head
+    (tools/bench/mb_head_stages.py).
+    """
+    B, N, _ = points_xyz.shape
+    V = struct.capacity
+    Z, Y, X = (int(s) for s in struct.spatial_shape)
+
+    # sort points by extended cell key (invalid/out-of-range points go
+    # last) so the grouped lookup streams are monotone per tile
+    inb = jnp.all(
+        (pv >= 0) & (pv < jnp.asarray([Z, Y, X], pv.dtype)), axis=-1
+    ) & point_valid
+    cell = (pv[..., 0] * Y + pv[..., 1]) * (X + 2) + (pv[..., 2] + 1)
+    sort_key = jnp.where(inb, cell, np.int32(2**31 - 1))
+    perm = jnp.argsort(sort_key, axis=-1)  # [B, N]
+    pv_s = jnp.take_along_axis(pv, perm[..., None], axis=1)
+    pxyz_s = jnp.take_along_axis(points_xyz, perm[..., None], axis=1)
+    valid_s = jnp.take_along_axis(point_valid, perm, axis=1)
+
+    # nine (dz, dy) groups; each triple-lookup covers dx in {-1, 0, 1}
+    d = np.array([(dz - 1, dy - 1, 0) for dz in range(3) for dy in range(3)],
+                 np.int32)
+    qc = pv_s[None] + jnp.asarray(d)[:, None, None, :]  # [9, B, N, 3]
+    gvalid = jnp.broadcast_to(valid_s[None], qc.shape[:-1])
+    (im, fm), (i0, f0), (ip, fp) = sp._lookup_rank3_groups(table, qc, gvalid)
+
+    # candidates in raster (dz, dy, dx) order, exactly as the oracle path
+    idx27 = jnp.stack([im, i0, ip], axis=1).reshape(27, B, N)
+    fnd27 = jnp.stack([fm, f0, fp], axis=1).reshape(27, B, N)
+    offs = (jnp.arange(B, dtype=jnp.int32) * V)[None, :, None]
+    gidx27 = jnp.where(fnd27, idx27 + offs, B * V).astype(jnp.int32)
+
+    # analytic candidate centers: found candidate's coords == pv_s + delta
+    vs = jnp.asarray(voxel_size, dtype=jnp.float32)  # (vx, vy, vz)
+    org = jnp.asarray(point_cloud_range[:3], dtype=jnp.float32)
+    dx = np.tile(np.array([-1, 0, 1], np.int32), 9)  # [27]
+    dzyx = np.concatenate(
+        [np.repeat(d[:, :2], 3, axis=0), dx[:, None]], axis=1)  # [27, 3]
+    cand_zyx = (pv_s[None].astype(jnp.float32)
+                + jnp.asarray(dzyx, jnp.float32)[:, None, None, :])
+    cand_ctr = (cand_zyx[..., ::-1] + 0.5) * vs + org  # [27, B, N, 3] xyz
+    d2 = jnp.sum((pxyz_s[None] - cand_ctr) ** 2, axis=-1)
+    cand_d = jnp.where(fnd27, d2, jnp.inf)
+
+    # Far-point fallback (VERDICT r3 item 6): a point whose 3x3x3
+    # neighborhood holds no active voxel (capacity-dropped voxels,
+    # out-of-range points) would get ZERO features where the reference's
+    # three_nn finds the 3 global nearest. The center group's raw i0 is
+    # rank-1 even on a MISS — the largest active cell <= the point's own
+    # cell in raster order — so append it and its successor as extra
+    # candidates with their true (gathered-center) distances: when the
+    # 27-neighborhood hits they lose the top-k; when it misses the point
+    # gets real nearest-in-key-order voxel features instead of zeros.
+    centers = sp.voxel_centers(struct, voxel_size, point_cloud_range)
+    centers_flat = jnp.concatenate(
+        [centers.reshape(B * V, 3), jnp.zeros((1, 3), centers.dtype)], axis=0
+    )
+    missed = ~jnp.any(jnp.isfinite(cand_d), axis=0)  # [B, N]
+    nv = struct.num_voxels  # [B]
+    rank_m1 = i0[4]  # center (dz, dy) group: rank-1 at the point's cell
+    offs2 = offs[0]
+    extras_d, extras_i = [], []
+    for rr in (rank_m1, rank_m1 + 1):
+        row = jnp.clip(rr, 0, jnp.maximum(nv[:, None] - 1, 0))
+        ok = missed & valid_s & (nv[:, None] > 0)
+        gidx = jnp.where(ok, row + offs2, B * V).astype(jnp.int32)
+        cand = jnp.take(centers_flat, gidx.reshape(-1), axis=0
+                        ).reshape(B, N, 3)
+        dd = jnp.sum((pxyz_s - cand) ** 2, axis=-1)
+        extras_d.append(jnp.where(ok, dd, jnp.inf))
+        extras_i.append(gidx)
+    cand_d = jnp.concatenate([cand_d] + [x[None] for x in extras_d], axis=0)
+    gidx27 = jnp.concatenate([gidx27] + [x[None] for x in extras_i], axis=0)
+
+    out_s = _interp_from_candidates(cand_d, gidx27, features, valid_s, k)
+    # un-permute: one [B, N, C] row scatter back to input point order
+    out = jnp.zeros_like(out_s)
+    return jax.vmap(lambda o, p, v: o.at[p].set(v))(out, perm, out_s)
 
 
 def exact_three_nn(points_xyz, ref_xyz, ref_valid, k=3, chunk=4096):

@@ -143,7 +143,7 @@ DENSE_TABLE_BUDGET_BYTES = 1 << 31  # 2 GB across the batch
 
 def set_table_kind(kind):
     global TABLE_KIND
-    assert kind in ("auto", "rank", "hash", "dense")
+    assert kind in ("auto", "rank", "keys", "hash", "dense")
     TABLE_KIND = kind
 
 
@@ -153,15 +153,22 @@ def dense_table(s: SparseStructure):
     returns the table kind selected by TABLE_KIND."""
     kind = TABLE_KIND
     if kind == "auto":
-        ncells = int(np.prod([int(d) for d in s.spatial_shape]))
-        dense_bytes = s.batch_size * ncells * 4
-        kind = "rank" if dense_bytes <= DENSE_TABLE_BUDGET_BYTES else "hash"
+        Z, Y, X = (int(d) for d in s.spatial_shape)
+        # RankTable only while its packed table is VMEM-resident for the
+        # sorted-stream lookup kernel; beyond that the sorted-keys merge
+        # kernel (no dense table at all) beats both the XLA element-gather
+        # fallback (7.2 ns/query) and the dense build cost.
+        kind = "rank" if plkup.supported(Z * Y * (X + 2)) else "keys"
     if kind == "hash":
         return coord_ops.build_hash_map(
             s.coords, s.num_voxels, s.spatial_shape
         )
     if kind == "rank":
         return coord_ops.build_rank_table(
+            s.coords, s.num_voxels, s.spatial_shape
+        )
+    if kind == "keys":
+        return coord_ops.build_key_table(
             s.coords, s.num_voxels, s.spatial_shape
         )
     return coord_ops.build_dense_table(s.coords, s.num_voxels, s.spatial_shape)
@@ -272,6 +279,35 @@ def _gather_cells(packed, cell, inb):
     return jnp.take(flat, (cell + offs).reshape(-1), axis=0).reshape(cell.shape)
 
 
+def _merge_cells(table, cell, inb):
+    """KeyTable counterpart of _gather_cells: packed rank/activity values
+    from the sorted-keys merge kernel (ops/pallas_merge.py); same monotone
+    clamping so per-tile anchor spans stay tight. Non-TPU backends use the
+    searchsorted oracle (plmerge.merge_gather_xla)."""
+    from . import pallas_merge as plmerge
+
+    B = table.keys.shape[0]
+    G, _, V = cell.shape
+    maxc = jnp.max(jnp.where(inb, cell, 0), axis=-1, keepdims=True)
+    cells = jnp.minimum(cell, maxc)
+    Vp = -(-V // plmerge.TILE_Q) * plmerge.TILE_Q
+    if Vp != V:
+        cells = jnp.pad(cells, ((0, 0), (0, 0), (0, Vp - V)), mode="edge")
+    stream = cells.transpose(1, 0, 2).reshape(B, G * Vp)
+    mode = _pallas_mode()
+    if mode in ("bf16", "fp32", "fp32i"):
+        out = jnp.stack([
+            plmerge.merge_gather(table.keys[b], table.coarse[b],
+                                 table.shift, stream[b],
+                                 interpret=mode == "fp32i")
+            for b in range(B)
+        ])
+    else:
+        out = jax.vmap(plmerge.merge_gather_xla)(
+            table.keys, table.num, stream)
+    return out.reshape(B, G, Vp)[..., :V].transpose(1, 0, 2)
+
+
 def _lookup_rank3_groups(table, qc, gvalid):
     """Grouped 3-x-tap rank-table lookup (coords.lookup_rank3 semantics,
     batched over a leading group axis and funneled through ONE gather so
@@ -288,7 +324,10 @@ def _lookup_rank3_groups(table, qc, gvalid):
            & (x >= -1) & (x <= X) & gvalid)
     cell = (z * Y + y) * (X + 2) + (x + 1)
     cell = jnp.clip(cell, 0, nce - 1)
-    v = _gather_cells(table.packed, cell, inb)
+    if isinstance(table, coord_ops.KeyTable):
+        v = _merge_cells(table, cell, inb)
+    else:
+        v = _gather_cells(table.packed, cell, inb)
     rank, am, a0, ap = coord_ops._rank_bits(v)
     f = lambda a: inb & (a > 0)
     i32 = lambda a: a.astype(jnp.int32)
@@ -314,7 +353,8 @@ def build_subm_rulebook(s: SparseStructure, kernel_size=3, table=None):
     valid = s.valid_mask()  # padded rows are (-1,-1,-1); an offset of +1 would
     # otherwise alias them onto the real voxel at the origin
 
-    if isinstance(table, coord_ops.RankTable) and ks[2] == 3:
+    if isinstance(table, (coord_ops.RankTable, coord_ops.KeyTable)) \
+            and ks[2] == 3:
         kz, ky, _ = ks
         d = np.array([(dz - kz // 2, dy - ky // 2, 0)
                       for dz in range(kz) for dy in range(ky)], np.int32)
@@ -441,8 +481,8 @@ def build_strided_rulebook(
     base = out_struct.coords * stride_arr[None, None, :]
     Vin = s_in.capacity
 
-    if (isinstance(table, coord_ops.RankTable) and ks[2] == 3
-            and pad[2] <= 2):
+    if (isinstance(table, (coord_ops.RankTable, coord_ops.KeyTable))
+            and ks[2] == 3 and pad[2] <= 2):
         # x-taps query cells base_x+dx-px for dx in {0,1,2}: consecutive,
         # so one rank-table gather at the middle cell serves all three
         kz, ky, _ = ks
@@ -526,8 +566,8 @@ def build_inverse_rulebook(
     tvalid = target_struct.valid_mask()
     Vlo = s_low.capacity
 
-    if (isinstance(table, coord_ops.RankTable) and ks[2] == 3
-            and int(sz[2]) in (1, 2)):
+    if (isinstance(table, (coord_ops.RankTable, coord_ops.KeyTable))
+            and ks[2] == 3 and int(sz[2]) in (1, 2)):
         # x numerators n_dx = t + px - dx for dx in {0,1,2} are consecutive;
         # with sx=1 all three map to consecutive source cells, with sx=2 the
         # two same-parity numerators map to consecutive cells — either way

@@ -38,13 +38,14 @@ def synth_struct(V, N, pcr, vsz, seed):
 def timed(f, args, reps):
     import jax
 
+    del jax
     t0 = time.time()
-    jax.block_until_ready(f(*args, reps))
-    compile_s = time.time() - t0
+    int(f(*args, reps))  # scalar fetch — block_until_ready returns EARLY
+    compile_s = time.time() - t0  # on axon (see verify skill gotchas)
     ts = []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(f(*args, reps))
+        int(f(*args, reps))
         ts.append(time.time() - t0)
     return (min(ts) - RPC_FLOOR_S) / int(reps) * 1000, compile_s
 

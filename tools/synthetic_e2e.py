@@ -87,10 +87,11 @@ def parse_miou(text):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--root", default="/tmp/minikitti_e2e")
     ap.add_argument("--min-miou", type=float, default=0.85)
+    ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--device", default="cpu")
     args = ap.parse_args()
 
@@ -111,9 +112,18 @@ def main():
             "for _d in (data['train'], data['val'], data['test']):\n"
             "    _d['root_path'] = data_root\n"
             f"total_epochs = {args.epochs}\n"
-            "lr_config = dict(type='one_cycle', lr_max=0.004,\n"
+            f"lr_config = dict(type='one_cycle', lr_max={args.lr},\n"
             "                 moms=[0.95, 0.85], div_factor=10.0,\n"
             "                 pct_start=0.4)\n"
+            # the synthetic label is a function of ABSOLUTE position, so
+            # geometric augmentation (rot/scale/translate) moves the label
+            # boundary per-sample and makes the task unlearnable; disable it
+            # for the overfit closure (the real configs keep it)
+            "for _st in data['train']['pipeline']:\n"
+            "    if _st['type'] == 'SegPreprocess':\n"
+            "        _st['cfg'] = dict(_st['cfg'], global_rot_noise=[0, 0],\n"
+            "                          global_scale_noise=[1.0, 1.0],\n"
+            "                          global_translate_std=0.0)\n"
         )
 
     env = dict(os.environ)
