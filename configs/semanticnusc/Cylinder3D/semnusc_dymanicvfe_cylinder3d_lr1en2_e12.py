@@ -65,7 +65,8 @@ val_pipeline = [
     dict(type="SegPreprocess", cfg=val_preprocessor),
     dict(type="Reformat"),
 ]
-capacity = dict(max_points=100000)
+# sized to nuScenes nsweeps=1 scans (<=34,688 pts; see MSeg3D config note)
+capacity = dict(max_points=40960)
 
 data = dict(
     samples_per_gpu=2, workers_per_gpu=6,

@@ -49,7 +49,8 @@ voxel_generator = dict(
     range=point_cloud_range, voxel_size=voxel_size,
     max_points_in_voxel=5, max_voxel_num=[120000, 120000],
 )
-capacity = dict(max_voxels=120000, max_points=100000)
+# sized to nuScenes nsweeps=1 scans (<=34,688 pts; see MSeg3D config note)
+capacity = dict(max_voxels=40960, max_points=40960)
 
 train_pipeline = [
     dict(type="LoadPointCloudFromFile", dataset=dataset_type),

@@ -116,14 +116,14 @@ def main():
             "                 moms=[0.95, 0.85], div_factor=10.0,\n"
             "                 pct_start=0.4)\n"
             # the synthetic label is a function of ABSOLUTE position, so
-            # geometric augmentation (rot/scale/translate) moves the label
-            # boundary per-sample and makes the task unlearnable; disable it
-            # for the overfit closure (the real configs keep it)
+            # geometric augmentation (flip/rot/scale/translate) moves the
+            # label boundary per-sample and makes the task unlearnable —
+            # with random x/y flips on, only the z octant bit is stable and
+            # training plateaus at ~20% mIoU. Disable ALL geometric aug for
+            # the overfit closure (the real configs keep it)
             "for _st in data['train']['pipeline']:\n"
             "    if _st['type'] == 'SegPreprocess':\n"
-            "        _st['cfg'] = dict(_st['cfg'], global_rot_noise=[0, 0],\n"
-            "                          global_scale_noise=[1.0, 1.0],\n"
-            "                          global_translate_std=0.0)\n"
+            "        _st['cfg'] = dict(_st['cfg'], no_augmentation=True)\n"
         )
 
     env = dict(os.environ)
