@@ -20,6 +20,23 @@ def pad_axis0(arr, size, fill=0):
     return out
 
 
+def _pad_stack(arrs, size, dtype, fill=0):
+    """Pad each [n, ...] array to `size` rows straight into ONE
+    preallocated [B, size, ...] batch array.
+
+    The list-of-pad_axis0 + np.stack formulation copies every padded
+    buffer twice; at 10 MB/frame capacities on a 1-vCPU host the second
+    copy alone dominated collate (tools/bench/mb_loader_stages.py)."""
+    B = len(arrs)
+    shape = (B, size) + arrs[0].shape[1:]
+    out = (np.zeros(shape, dtype) if fill == 0  # calloc: lazily zeroed
+           else np.full(shape, fill, dtype))
+    for b, a in enumerate(arrs):
+        n = min(a.shape[0], size)
+        out[b, :n] = a[:n]
+    return out
+
+
 def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
     """frames: list of per-frame dicts from the pipeline with keys
     voxels [v,P,D], coordinates [v,3] zyx, num_points_per_voxel [v],
@@ -29,69 +46,50 @@ def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
     """
     B = len(frames)
     has_voxels = "voxels" in frames[0]
-    out = {"points": [], "num_points_total": []}
-    if has_voxels:
-        out.update({"voxels": [], "coordinates": [], "num_points": [],
-                    "num_voxels": []})
     has_labels = "voxel_sem_labels" in frames[0]
     has_plabels = "point_sem_labels" in frames[0]
-    if has_labels:
-        out["voxel_sem_labels"] = []
-    if has_plabels:
-        out["point_sem_labels"] = []
     has_images = "images" in frames[0]
+    batch = {}
+
+    if has_voxels:
+        batch["voxels"] = _pad_stack(
+            [fr["voxels"] for fr in frames], max_voxels, np.float32)
+        batch["coordinates"] = _pad_stack(
+            [np.asarray(fr["coordinates"], np.int32) for fr in frames],
+            max_voxels, np.int32, fill=-1)
+        batch["num_points"] = _pad_stack(
+            [np.asarray(fr["num_points_per_voxel"], np.int32)
+             for fr in frames], max_voxels, np.int32)
+        batch["num_voxels"] = np.asarray(
+            [min(fr["voxels"].shape[0], max_voxels) for fr in frames],
+            np.int32)
+    batch["points"] = _pad_stack(
+        [np.asarray(fr["points"], np.float32) for fr in frames],
+        max_points, np.float32)
+    batch["num_points_total"] = np.asarray(
+        [min(fr["points"].shape[0], max_points) for fr in frames], np.int32)
     if has_images:
-        out["images"] = []
-        out["points_cuv"] = []
+        if B == 1:
+            # zero-copy: a [1, ncam, H, W, 3] VIEW of the frame's block
+            batch["images"] = frames[0]["images"][None]
+        else:
+            batch["images"] = np.stack([fr["images"] for fr in frames])
+        batch["points_cuv"] = _pad_stack(
+            [np.asarray(fr["points_cuv"], np.float32) for fr in frames],
+            max_points, np.float32)
         if "images_sem_labels" in frames[0]:
-            out["images_sem_labels"] = []
-    metadata = []
-
-    for fr in frames:
-        n = min(fr["points"].shape[0], max_points)
-        if has_voxels:
-            v = min(fr["voxels"].shape[0], max_voxels)
-            out["voxels"].append(pad_axis0(fr["voxels"], max_voxels))
-            out["coordinates"].append(
-                pad_axis0(np.asarray(fr["coordinates"], np.int32), max_voxels,
-                          fill=-1)
-            )
-            out["num_points"].append(
-                pad_axis0(np.asarray(fr["num_points_per_voxel"], np.int32),
-                          max_voxels)
-            )
-            out["num_voxels"].append(np.int32(v))
-        out["points"].append(pad_axis0(np.asarray(fr["points"], np.float32), max_points))
-        out["num_points_total"].append(np.int32(n))
-        if has_images:
-            out["images"].append(fr["images"])
-            cuv = pad_axis0(np.asarray(fr["points_cuv"], np.float32), max_points)
-            out["points_cuv"].append(cuv)
-            if "images_sem_labels" in fr:
-                out["images_sem_labels"].append(
-                    np.asarray(fr["images_sem_labels"], np.int32)
-                )
-        if has_labels:
-            out["voxel_sem_labels"].append(
-                pad_axis0(
-                    np.asarray(fr["voxel_sem_labels"], np.int32), max_voxels,
-                    fill=ignore_label,
-                )
-            )
-        if has_plabels:
-            out["point_sem_labels"].append(
-                pad_axis0(
-                    np.asarray(fr["point_sem_labels"], np.int32), max_points,
-                    fill=ignore_label,
-                )
-            )
-        metadata.append(fr.get("metadata"))
-
-    batch = {
-        k: (np.concatenate(v, axis=0) if k == "images_sem_labels"
-            else np.stack(v))
-        for k, v in out.items()
-    }  # images_sem_labels: [B*ncam, H, W]
+            batch["images_sem_labels"] = np.concatenate(
+                [np.asarray(fr["images_sem_labels"], np.int32)
+                 for fr in frames], axis=0)  # [B*ncam, H, W]
+    if has_labels:
+        batch["voxel_sem_labels"] = _pad_stack(
+            [np.asarray(fr["voxel_sem_labels"], np.int32) for fr in frames],
+            max_voxels, np.int32, fill=ignore_label)
+    if has_plabels:
+        batch["point_sem_labels"] = _pad_stack(
+            [np.asarray(fr["point_sem_labels"], np.int32) for fr in frames],
+            max_points, np.int32, fill=ignore_label)
+    metadata = [fr.get("metadata") for fr in frames]
     batch["point_valid"] = (
         np.arange(max_points)[None, :] < batch["num_points_total"][:, None]
     )

@@ -112,3 +112,18 @@ def normalize_image(image, mean, std):
     """BGR uint8 -> float32 normalized by per-channel mean/std (0-1 scale)."""
     img = image.astype(np.float32) / 255.0
     return (img - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def normalize_image_into(image, mean, std, out):
+    """normalize_image, written straight into a preallocated fp32 slot.
+
+    (img/255 - mean)/std == img * (1/(255 std)) - mean/std, done as TWO
+    in-place passes over `out` with no temporaries. On a 1-vCPU host the
+    naive form costs 4 full-image passes plus an np.stack copy of the
+    whole camera block — measured 289 ms/frame for 6x 640x960 cameras in
+    the stack alone (tools/bench/mb_loader_stages.py)."""
+    scale = 1.0 / (255.0 * np.asarray(std, np.float32))
+    bias = np.asarray(mean, np.float32) / np.asarray(std, np.float32)
+    np.multiply(image, scale, out=out, casting="unsafe")
+    np.subtract(out, bias, out=out)
+    return out

@@ -305,10 +305,9 @@ class SegImagePreprocess:
                         img, cp, lab, rng, **self.crop_cfg
                     )
             points_cp[sel] = cp
-            attr = cam_attributes[cam_id]
-            out_images.append(
-                T.normalize_image(img, attr["mean"], attr["std"])
-            )
+            out_images.append(img)  # normalized below, straight into the
+            # preallocated camera block (no per-camera fp32 temporaries, no
+            # np.stack copy — both measured to dominate this stage's time)
             if lab is not None:
                 out_labels.append(lab)
 
@@ -316,6 +315,11 @@ class SegImagePreprocess:
         shapes = {im.shape[:2] for im in out_images}
         assert len(shapes) == 1, f"inconsistent camera shapes: {shapes}"
         H, W = out_images[0].shape[:2]
+        images_out = np.empty((len(out_images), H, W, 3), np.float32)
+        for ci, (cam_id, img) in enumerate(zip(cam_names, out_images)):
+            attr = cam_attributes[cam_id]
+            T.normalize_image_into(img, attr["mean"], attr["std"],
+                                   images_out[ci])
 
         if self.shuffle_points or sample.get("points_shuffle_idx") is not None:
             idx = sample.get("points_shuffle_idx")
@@ -334,7 +338,7 @@ class SegImagePreprocess:
 
         sample["points_cp"] = points_cp
         sample["points_cuv"] = cuv
-        sample["images"] = np.stack(out_images, axis=0)  # [ncam, H, W, 3]
+        sample["images"] = images_out  # [ncam, H, W, 3] fp32
         if out_labels:
             sample["images_sem_labels"] = np.stack(out_labels, axis=0).astype(
                 np.int32
