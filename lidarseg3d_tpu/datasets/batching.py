@@ -5,7 +5,42 @@ Replaces the reference's ragged concat collate
 [B, V, ...] / [B, N, ...] padding — the TPU-native layout (SURVEY.md §7.1).
 """
 
+import logging
+
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _check_overflow(frames, max_voxels, max_points, on_overflow):
+    """Loudly handle frames exceeding the padded capacity.
+
+    The reference's ragged concat never drops rows
+    (det3d/torchie/parallel/collate.py:95-175); our fixed-capacity pad
+    truncates, so an undersized `capacity` config must not fail silently.
+    on_overflow: "error" (train default — truncation changes gradients),
+    "warn" (eval/tools default), or "silent" (benchmarks on synthetic
+    data sized to capacity).
+    """
+    if on_overflow == "silent":
+        return
+    dropped_v = sum(
+        max(0, fr["voxels"].shape[0] - max_voxels)
+        for fr in frames if "voxels" in fr)
+    dropped_p = sum(
+        max(0, np.asarray(fr["points"]).shape[0] - max_points)
+        for fr in frames)
+    if not (dropped_v or dropped_p):
+        return
+    msg = (
+        f"capacity overflow at collate: dropped {dropped_v} voxel rows "
+        f"(max_voxels={max_voxels}) and {dropped_p} point rows "
+        f"(max_points={max_points}) across {len(frames)} frames; raise "
+        f"`capacity` in the config or truncate upstream (npoints/"
+        f"max_voxel_num in SegPreprocess/SegVoxelization)")
+    if on_overflow == "error":
+        raise ValueError(msg)
+    logger.warning(msg)
 
 
 def pad_axis0(arr, size, fill=0):
@@ -37,13 +72,17 @@ def _pad_stack(arrs, size, dtype, fill=0):
     return out
 
 
-def collate_segnet(frames, max_voxels, max_points, ignore_label=0):
+def collate_segnet(frames, max_voxels, max_points, ignore_label=0,
+                   on_overflow="warn"):
     """frames: list of per-frame dicts from the pipeline with keys
     voxels [v,P,D], coordinates [v,3] zyx, num_points_per_voxel [v],
     points [n,D], and optionally voxel_sem_labels [v] / point_sem_labels [n].
 
-    Returns a dict of stacked numpy arrays (B leading).
+    Returns a dict of stacked numpy arrays (B leading). Frames larger than
+    the capacity are truncated — loudly, per `on_overflow` ("error" /
+    "warn" / "silent").
     """
+    _check_overflow(frames, max_voxels, max_points, on_overflow)
     B = len(frames)
     has_voxels = "voxels" in frames[0]
     has_labels = "voxel_sem_labels" in frames[0]

@@ -17,7 +17,7 @@ from .batching import collate_segnet
 
 
 def _shm_worker(ds_bytes, schema, shm_names, task_q, done_q, seed,
-                max_voxels, max_points, ignore_label):
+                max_voxels, max_points, ignore_label, on_overflow="warn"):
     """Shared-memory loader worker (spawned process).
 
     Builds collated batches and writes the array fields straight into the
@@ -47,7 +47,7 @@ def _shm_worker(ds_bytes, schema, shm_names, task_q, done_q, seed,
         try:
             batch = _process_make_batch(
                 dataset, batch_idx, epoch, step, seed, max_voxels,
-                max_points, ignore_label)
+                max_points, ignore_label, on_overflow)
             extras = {}
             for key, val in batch.items():
                 if key in schema:
@@ -60,7 +60,7 @@ def _shm_worker(ds_bytes, schema, shm_names, task_q, done_q, seed,
 
 
 def _process_make_batch(dataset, batch_idx, epoch, step, seed, max_voxels,
-                        max_points, ignore_label):
+                        max_points, ignore_label, on_overflow="warn"):
     """Top-level (picklable) batch builder for process workers."""
     frames = []
     for j, i in enumerate(batch_idx):
@@ -72,7 +72,8 @@ def _process_make_batch(dataset, batch_idx, epoch, step, seed, max_voxels,
             frames.extend(fr)
         else:
             frames.append(fr)
-    return collate_segnet(frames, max_voxels, max_points, ignore_label)
+    return collate_segnet(frames, max_voxels, max_points, ignore_label,
+                          on_overflow)
 
 
 class EpochSampler:
@@ -158,7 +159,7 @@ class SegDataLoader:
     def __init__(self, dataset, batch_size, max_voxels, max_points,
                  shuffle=True, seed=0, num_hosts=1, host_id=0,
                  num_workers=4, prefetch=4, drop_last=True, ignore_label=0,
-                 worker_mode="thread"):
+                 worker_mode="thread", on_overflow="warn"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_voxels = max_voxels
@@ -170,6 +171,7 @@ class SegDataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.ignore_label = ignore_label
+        self.on_overflow = on_overflow
         self.seed = seed
         # "thread": cheap, but the python pipeline holds the GIL, capping
         #   throughput near single-core (~14 scans/s at KITTI scale; MORE
@@ -201,7 +203,8 @@ class SegDataLoader:
             else:
                 frames.append(fr)
         return collate_segnet(
-            frames, self.max_voxels, self.max_points, self.ignore_label
+            frames, self.max_voxels, self.max_points, self.ignore_label,
+            self.on_overflow,
         )
 
     def _start_shm_workers(self, schema):
@@ -238,7 +241,7 @@ class SegDataLoader:
                 target=_shm_worker,
                 args=(ds_bytes, schema, names, self._task_q, self._done_q,
                       self.seed, self.max_voxels, self.max_points,
-                      self.ignore_label),
+                      self.ignore_label, self.on_overflow),
                 daemon=True,
             )
             for _ in range(self.num_workers)
@@ -332,7 +335,7 @@ class SegDataLoader:
             return pool.submit(
                 _process_make_batch, self.dataset, bidx, epoch, step,
                 self.seed, self.max_voxels, self.max_points,
-                self.ignore_label,
+                self.ignore_label, self.on_overflow,
             )
         return pool.submit(self._make_batch, bidx, epoch, step)
 

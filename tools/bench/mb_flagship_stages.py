@@ -62,7 +62,9 @@ def main():
         img_hw, ncam, ncls, bf16 = (384, 1280), 1, 20, False
     else:
         pcr, vsz = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0), (0.1, 0.1, 0.2)
-        V, N = 120000, 100000
+        # right-sized capacities matching bench.py's shipping config (r4):
+        # nuScenes nsweeps=1 keyframes are <= 34,688 points, padded to 40960
+        V, N = 40960, 40960
         img_hw, ncam, ncls, bf16 = (640, 960), 6, 17, True
 
     grid = np.round((np.asarray(pcr[3:]) - np.asarray(pcr[:3]))

@@ -7,13 +7,19 @@ the closest attainable stand-in for the reference's dist_test.py validation
 run until real data is mounted (docs/PARITY.md has the real-data recipe):
 
   1. writes a ~50-frame fixture (velodyne/labels/image_2/calib) where the
-     label is a LEARNABLE function of position (octant of (x, y, z)), so a
-     working train loop can overfit it;
+     label is a LEARNABLE function of position — radial ring x z-sign,
+     classes 1..8. The function is INVARIANT under the TTA transform
+     family used in step 3 (x/y flips + z-rotation), so the TTA merge
+     path (apis/eval.py ArithmeticMean, reference
+     point_seg_batchloss_head.py:190-245) is assertable, not advisory
+     (VERDICT r4 item 6);
   2. runs the real tools/train.py on configs/tests/mini_semkitti_mseg3d.py
      (flagship MSeg3D dataflow: HRNet image branch, fusion, SFFM);
   3. runs the real tools/test.py (checkpoint -> dataset.evaluation mIoU),
-     plus a --tta pass;
-  4. asserts the eval mIoU over present classes clears a threshold.
+     plus a --tta pass with rotation+flip-only variants (tta_cfg disables
+     scale/translate so the label stays invariant);
+  4. asserts the eval mIoU over present classes clears a threshold AND
+     the TTA mIoU is within epsilon of (or above) the plain mIoU.
 
 Usage: python tools/synthetic_e2e.py [--epochs 12] [--frames 40]
        [--root /tmp/minikitti_e2e] [--min-miou 0.85]
@@ -55,11 +61,12 @@ def write_fixture(root, frames, n=1400, seed=0):
             rng.uniform(-5.5, 5.5, n), rng.uniform(-5.5, 5.5, n),
             rng.uniform(-1.8, 1.8, n), rng.uniform(0, 1, n),
         ], 1).astype(np.float32)
-        # learnable label: octant of (x, y, z) -> train classes 1..8
-        octant = ((pts[:, 0] > 0).astype(np.int64)
-                  + 2 * (pts[:, 1] > 0).astype(np.int64)
-                  + 4 * (pts[:, 2] > 0).astype(np.int64))
-        train_cls = octant + 1
+        # learnable label: radial ring x z-sign -> train classes 1..8.
+        # r and sign(z) are invariant under x/y flips and z-rotations,
+        # so flip/rotate TTA variants carry the same ground truth
+        r = np.hypot(pts[:, 0], pts[:, 1])
+        ring = np.digitize(r, [2.0, 3.5, 5.0])  # 0..3
+        train_cls = ring * 2 + (pts[:, 2] > 0).astype(np.int64) + 1
         raw = np.asarray([inv[c] for c in train_cls], np.uint32)
         pts.tofile(os.path.join(seq, "velodyne", f"{i:06d}.bin"))
         (raw | (np.uint32(1) << 16)).tofile(
@@ -124,6 +131,13 @@ def main():
             "for _st in data['train']['pipeline']:\n"
             "    if _st['type'] == 'SegPreprocess':\n"
             "        _st['cfg'] = dict(_st['cfg'], no_augmentation=True)\n"
+            # TTA restricted to the label-invariant transforms (x/y flip +
+            # z-rotation): scale/translate would move the radial-ring
+            # boundary and reintroduce the advisory-only problem
+            "tta_cfg = dict(num_tta_tranforms=4,\n"
+            "               global_rot_noise=[-0.78539816, 0.78539816],\n"
+            "               global_scale_noise=[1.0, 1.0],\n"
+            "               global_translate_std=0.0)\n"
         )
 
     env = dict(os.environ)
@@ -149,7 +163,14 @@ def main():
     assert miou >= args.min_miou, (
         f"end-to-end mIoU {miou:.4f} < {args.min_miou}: the train->ckpt->"
         "eval path does not close")
-    print("SYNTHETIC E2E CLOSURE: OK")
+    # the label is invariant under the TTA transforms, so the merged
+    # prediction must not degrade: this asserts the ArithmeticMean logit
+    # merge path end-to-end (VERDICT r4 item 6)
+    assert miou_tta >= miou - 0.02, (
+        f"TTA mIoU {miou_tta:.4f} < plain {miou:.4f} - 0.02: the TTA "
+        "merge path degrades an invariant-label task")
+    print("SYNTHETIC E2E CLOSURE: OK (plain "
+          f"{miou:.4f}, tta {miou_tta:.4f})")
 
 
 if __name__ == "__main__":

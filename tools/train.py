@@ -100,6 +100,10 @@ def main():
         worker_mode=cfg.data.get(
             "worker_mode", "shm" if (os.cpu_count() or 1) > 2 else "thread"),
         ignore_label=cfg.get("ignore_label", 0),
+        # training must fail loudly on capacity overflow — silent row drops
+        # change gradients (the reference's ragged concat never drops,
+        # det3d/torchie/parallel/collate.py:95)
+        on_overflow=cfg.get("on_overflow", "error"),
     )
 
     gs = np.asarray(cfg.voxel_generator["range"], np.float32)
