@@ -19,6 +19,7 @@ semantics drift in the sparse stack (rulebooks, rank tables, fused kernel,
 BN masking, residuals) breaks this test.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,9 @@ from lidarseg3d_tpu.ops import sparse as sp
 from lidarseg3d_tpu.models.backbones.unet_scn import UNetSCN3D
 
 from tests.test_sparse_conv import make_random_sparse
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the default tier (VERDICT r4 item 3)
+
 
 SHAPE = (16, 12, 12)  # deep enough that the stage-4 (pad 0) z-conv fits
 # capacity must exceed every stage's UNION site count (stage-2 grid has 288

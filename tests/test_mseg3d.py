@@ -10,6 +10,9 @@ import pytest
 
 from lidarseg3d_tpu.models import build_detector
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the default tier (VERDICT r4 item 3)
+
+
 PCR = [-4.0, -4.0, -1.0, 4.0, 4.0, 1.0]
 VSZ = [0.25, 0.25, 0.25]
 NCLS = 8

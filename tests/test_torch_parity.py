@@ -16,6 +16,9 @@ import jax.numpy as jnp
 from lidarseg3d_tpu.models.layers import MaskedBatchNorm
 from lidarseg3d_tpu.ops import losses as L
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the default tier (VERDICT r4 item 3)
+
+
 
 def test_batchnorm_matches_torch_train_and_eval():
     rng = np.random.default_rng(0)
