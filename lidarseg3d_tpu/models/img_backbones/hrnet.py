@@ -10,8 +10,21 @@ arithmetic so pretrained torch weights can be imported 1:1
 
 frozen_stages semantics (mmcv): stages <= frozen_stages use running BN stats
 and contribute no gradients (stop_gradient at the stage boundary).
+
+Space-to-depth branch blocks (s2d_max_c): the narrow branches (C=18 for
+w18) run their 3x3 convs at ~2% MXU utilization — an [M,18]x[18,18] tap
+GEMM uses 18 of 128 lanes on BOTH the contraction and output dims of the
+128x128 systolic array. Branches with C <= s2d_max_c therefore run their
+BasicBlock stacks in space-to-depth(2) layout: [N,H,W,C] -> [N,H/2,W/2,4C],
+where the same 3x3 stride-1 conv is EXACTLY a 3x3 conv with a rearranged
+(block-structured) [3,3,4C,4C] kernel — 4x the MACs at (72/128)^2 vs
+(18/128)^2 utilization, i.e. ~4x net on the MXU (measured on v5e:
+tools/bench/mb_conv_variants.py). Parameters are IDENTICAL to the plain
+layout (the [3,3,C,C] kernel is rearranged at apply time), so checkpoint
+import and the golden parity tests are unchanged.
 """
 
+import itertools
 from typing import Any
 
 import jax
@@ -37,28 +50,93 @@ def conv(features, kernel=3, stride=1, name=None, dtype=None):
     )
 
 
+def space_to_depth(x):
+    """[N, H, W, C] -> [N, H/2, W/2, 4C]; channel = (sy*2 + sx)*C + c."""
+    N, H, W, C = x.shape
+    x = x.reshape(N, H // 2, 2, W // 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(N, H // 2, W // 2, 4 * C)
+
+
+def depth_to_space(x):
+    """Inverse of space_to_depth."""
+    N, H2, W2, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(N, H2, W2, 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(N, H2 * 2, W2 * 2, C)
+
+
+def s2d_kernel3(w):
+    """Rearrange a [3,3,Cin,Cout] stride-1 same-pad conv kernel into the
+    [3,3,4Cin,4Cout] kernel that computes the SAME conv on space-to-depth(2)
+    inputs/outputs. Output sub-pixel (dy,dx) at s2d site (Y,X) is original
+    pixel (2Y+dy, 2X+dx); its tap (ky,kx) reads original row 2Y+dy+ky-1 =
+    s2d row Y + (dy+ky-1)//2, sub-row (dy+ky-1) mod 2. The s2d conv's
+    1-site padding covers the original 1-pixel padding exactly (the extra
+    padded sub-rows get zero weights)."""
+    Cin, Cout = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((3, 3, 4 * Cin, 4 * Cout), w.dtype)
+    for dy, dx, ky, kx in itertools.product(
+            range(2), range(2), range(3), range(3)):
+        ry, sy = (dy + ky - 1) // 2 + 1, (dy + ky - 1) % 2
+        rx, sx = (dx + kx - 1) // 2 + 1, (dx + kx - 1) % 2
+        si, di = (sy * 2 + sx) * Cin, (dy * 2 + dx) * Cout
+        w2 = w2.at[ry, rx, si:si + Cin, di:di + Cout].set(w[ky, kx])
+    return w2
+
+
+class S2DConv(nn.Module):
+    """3x3 stride-1 conv on space-to-depth(2) inputs; params are the plain
+    [3,3,Cin,Cout] kernel (rearranged at apply time), so the tree matches
+    the plain conv 1:1. ``features`` is the ORIGINAL channel count."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1] // 4
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features))
+        dt = self.dtype or x.dtype
+        k2 = s2d_kernel3(kernel).astype(dt)
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), k2, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvBNReLU(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
     relu: bool = True
+    s2d: bool = False  # operate in space-to-depth(2) layout (see header)
 
     @nn.compact
     def __call__(self, x, train):
-        x = conv(self.features, self.kernel, self.stride, dtype=x.dtype)(x)
-        x = MaskedBatchNorm()(x, train=train)
+        if self.s2d:
+            assert self.kernel == 3 and self.stride == 1
+            x = S2DConv(self.features, dtype=x.dtype, name="Conv_0")(x)
+            x = MaskedBatchNorm(sub_groups=4)(x, train=train)
+        else:
+            x = conv(self.features, self.kernel, self.stride,
+                     dtype=x.dtype)(x)
+            x = MaskedBatchNorm()(x, train=train)
         return jax.nn.relu(x) if self.relu else x
 
 
 class BasicBlock(nn.Module):
     planes: int
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train):
         identity = x
-        y = ConvBNReLU(self.planes)(x, train)
-        y = ConvBNReLU(self.planes, relu=False)(y, train)
-        if identity.shape[-1] != self.planes:
+        y = ConvBNReLU(self.planes, s2d=self.s2d)(x, train)
+        y = ConvBNReLU(self.planes, relu=False, s2d=self.s2d)(y, train)
+        in_c = identity.shape[-1] // 4 if self.s2d else identity.shape[-1]
+        if in_c != self.planes:
+            assert not self.s2d  # branch blocks never change channels
             identity = ConvBNReLU(self.planes, kernel=1, relu=False)(x, train)
         return jax.nn.relu(y + identity)
 
@@ -89,6 +167,7 @@ class HRModule(nn.Module):
     num_blocks: tuple
     num_channels: tuple
     multiscale_output: bool = True
+    s2d_max_c: int = 0
 
     @nn.compact
     def __call__(self, xs, train):
@@ -96,8 +175,15 @@ class HRModule(nn.Module):
         outs = []
         for i in range(self.num_branches):
             x = xs[i]
+            use_s2d = (0 < self.num_channels[i] <= self.s2d_max_c
+                       and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                       and x.shape[-1] == self.num_channels[i])
+            if use_s2d:
+                x = space_to_depth(x)
             for _ in range(self.num_blocks[i]):
-                x = BasicBlock(self.num_channels[i])(x, train)
+                x = BasicBlock(self.num_channels[i], s2d=use_s2d)(x, train)
+            if use_s2d:
+                x = depth_to_space(x)
             outs.append(x)
 
         # fusion
@@ -133,11 +219,13 @@ class _HRModuleScanBody(nn.Module):
     num_branches: int
     num_blocks: tuple
     num_channels: tuple
+    s2d_max_c: int = 0
 
     @nn.compact
     def __call__(self, xs, train):
         ys = HRModule(self.num_branches, self.num_blocks,
-                      self.num_channels)(list(xs), train)
+                      self.num_channels,
+                      s2d_max_c=self.s2d_max_c)(list(xs), train)
         return tuple(ys), None
 
 
@@ -155,6 +243,7 @@ class HRModuleStack(nn.Module):
     num_blocks: tuple
     num_channels: tuple
     remat: bool = False  # mmcv HRNet's with_cp (torch checkpointing)
+    s2d_max_c: int = 0
 
     @nn.compact
     def __call__(self, xs, train):
@@ -168,7 +257,7 @@ class HRModuleStack(nn.Module):
             length=self.num_modules,
         )
         ys, _ = Body(self.num_branches, self.num_blocks, self.num_channels,
-                     name="scan")(tuple(xs), train)
+                     s2d_max_c=self.s2d_max_c, name="scan")(tuple(xs), train)
         return list(ys)
 
 
@@ -184,6 +273,9 @@ class HRNet(nn.Module):
     # (mmcv HRNet's with_cp, mmcv/cnn hrnet.py torch.utils.checkpoint)
     compute_dtype: Any = None  # e.g. "bfloat16": mixed-precision activations
     # (fp32 master params + BN stats; convs run the MXU's native bf16 path)
+    s2d_max_c: int = 18  # branches at <= this channel count run their
+    # blocks in space-to-depth(2) layout (exact rewrite; see module header).
+    # 0 disables.
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -229,7 +321,7 @@ class HRNet(nn.Module):
             xs = new_xs
             xs = HRModuleStack(
                 cfg["num_modules"], nb, tuple(cfg["num_blocks"]), chans,
-                remat=self.with_cp,
+                remat=self.with_cp, s2d_max_c=self.s2d_max_c,
             )(xs, ts)
             if self.frozen_stages >= si:
                 xs = [jax.lax.stop_gradient(v) for v in xs]

@@ -59,14 +59,25 @@ class MaskedBatchNorm(nn.Module):
       models with torch.nn.SyncBatchNorm, apis/train.py:312-327).
     - torch momentum semantics: running = (1-m)*running + m*batch.
     - normalization uses biased batch var; running var stores unbiased.
+    - sub_groups=G: input last dim is G*C interleaved copies of the SAME C
+      channels (space-to-depth layout, img_backbones/hrnet.py); params and
+      running stats stay per-C and batch statistics pool the G groups, so
+      numerics equal the plain-layout BN exactly.
     """
 
     momentum: float = 0.1
     eps: float = 1e-5
     dtype: Optional[jnp.dtype] = None
+    sub_groups: int = 1
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = True):
+        if self.sub_groups > 1:
+            G = self.sub_groups
+            orig_shape = x.shape
+            x = x.reshape(*x.shape[:-1], G, x.shape[-1] // G)
+            if mask is not None:
+                mask = jnp.broadcast_to(mask[..., None], x.shape[:-1])
         C = x.shape[-1]
         # statistics dtype: fp32 floor (bf16 activations use fp32 stats as
         # torch does), fp64 inputs (train-parity oracle) keep fp64
@@ -100,7 +111,10 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         y = (x.astype(sdt) - mean) * jax.lax.rsqrt(var + self.eps)
-        return (y * scale + bias).astype(x.dtype)
+        y = (y * scale + bias).astype(x.dtype)
+        if self.sub_groups > 1:
+            y = y.reshape(orig_shape)
+        return y
 
 
 class MLPHead(nn.Module):

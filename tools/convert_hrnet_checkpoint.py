@@ -64,9 +64,11 @@ def record_flax_layout(extra, image_size=(64, 64)):
     def interceptor(next_fn, args, kwargs, context):
         name = type(context.module).__name__
         if context.method_name == "__call__" and name in (
-            "Conv", "MaskedBatchNorm"
+            "Conv", "S2DConv", "MaskedBatchNorm"
         ):
-            kind = "conv" if name == "Conv" else "bn"
+            # S2DConv stores the SAME plain-layout [3,3,Cin,Cout] kernel
+            # (hrnet.py: rearranged at apply time), so it converts as conv
+            kind = "bn" if name == "MaskedBatchNorm" else "conv"
             path = context.module.path
             # nn.scan re-executes its body during init (shape pre-pass +
             # per-length passes); keep first occurrence only — the scan
