@@ -165,6 +165,9 @@ class UNetSCN3D(nn.Module):
             conv_point_coords=centers,  # [B, V, 3] metric xyz
             conv_structure=s1,
             conv_table=t1,
+            # stride-1 subm rulebook, reused by the point heads'
+            # devoxelization (ops/interpolate.py _grid_interp_rulebook)
+            conv_subm_rulebook=rb_subm1,
             multi_scale_3d_features={
                 "x_conv1": x_up2, "x_conv2": x_up3, "x_conv3": x_up4,
                 "x_conv4": x_conv4,

@@ -49,6 +49,7 @@ class PointSegBatchlossHead(nn.Module):
         point_conv_feats = interp.grid_three_interpolate(
             pts, pvalid, struct, feats, self.voxel_size, self.point_cloud_range,
             table=batch.get("conv_table"),
+            subm_rulebook=batch.get("conv_subm_rulebook"),
         )
 
         x = TorchLinear(cfg["CONV_ALIGN_DIM"])(point_conv_feats)

@@ -153,6 +153,7 @@ class PointSegMSeg3DHead(nn.Module):
         p_lidar0 = interp.grid_three_interpolate(
             pts, pvalid, struct, feats, self.voxel_size, self.point_cloud_range,
             table=batch.get("conv_table"),
+            subm_rulebook=batch.get("conv_subm_rulebook"),
         )
         p_lidar = TorchLinear(cfg["VOXEL_ALIGN_DIM"])(p_lidar0)
         p_lidar = MaskedBatchNorm(eps=1e-6)(p_lidar, mask=pvalid, train=train)

@@ -122,15 +122,26 @@ def build_kernel_meta(gidx, vin, group=3):
     )
 
 
-def _gather_window(table_ref, idxb, base, g, bf16):
-    """Merge rows idxb found in the 128-lane table window at ``base``."""
+def _load_band(table_ref, base, bf16):
+    """Slice the 128-lane table window at ``base`` (int32-bitcast for bf16).
+
+    Hoisted out of _gather_window so the 3 taps of a (dz, dy) group share
+    ONE dynamic lane slice per window (dynamic slices cost ~60 ns each)."""
     band = table_ref[:, pl.ds(pl.multiple_of(base, LANES), LANES)]
-    if bf16:
-        band = pltpu.bitcast(band, jnp.int32)
+    return pltpu.bitcast(band, jnp.int32) if bf16 else band
+
+
+def _gather_band(band, idxb, base, g):
+    """Merge rows idxb found in the preloaded window ``band`` at ``base``."""
     local = idxb - base
     valid = (local & ~(LANES - 1)) == 0  # 0 <= local < LANES
     got = jnp.take_along_axis(band, local & (LANES - 1), axis=1)
     return jnp.where(valid, got, g)
+
+
+def _gather_window(table_ref, idxb, base, g, bf16):
+    """Merge rows idxb found in the 128-lane table window at ``base``."""
+    return _gather_band(_load_band(table_ref, base, bf16), idxb, base, g)
 
 
 def _gather_phase(i, gcode_ref, epack_ref, ecnt_ref, gidx_ref, table_ref,
@@ -144,43 +155,33 @@ def _gather_phase(i, gcode_ref, epack_ref, ecnt_ref, gidx_ref, table_ref,
         idx = gidx_ref[k, :]
         return jnp.broadcast_to(idx[None, :], (half, LANES))
 
+    # Straight-line group bodies: no per-group emptiness/need-2nd-window
+    # branching. At C<=32 the branchy form was SCALAR-bound (~1.8 us per
+    # 128-output block with C16 == C32 — tools/bench/mb_conv_variants.py
+    # notes in STATUS.md); realistic scans almost never take the skip arms
+    # (groups are rarely empty, partners almost always straddle two
+    # windows), so the branches were pure overhead. Empty groups (code<0)
+    # degrade gracefully: w0 clamps to 0 and every gather lands
+    # out-of-window -> zeros, exactly what the zero-fill arm produced.
+    # Doing both windows unconditionally also keeps the tap's accumulator
+    # in registers (the old 2nd-window pass read-modify-wrote im2col).
     for gi in range(G):
         code = gcode_ref[gi, i]
-
-        @pl.when(code < 0)
-        def _(gi=gi):
-            z = jnp.zeros((group * Cin, LANES), im2col_ref.dtype)
-            im2col_ref[row0 + gi * group * Cin:
-                       row0 + (gi + 1) * group * Cin, :] = z
-
-        @pl.when(code >= 0)
-        def _(gi=gi, code=code):
-            w0 = code & (_MAX_BLOCKS - 1)
-            for t in range(group):
-                k = gi * group + t
-                idxb = read_idx(k)
-                if bf16:
-                    acc = jnp.zeros((half, LANES), jnp.int32)
-                else:
-                    acc = jnp.zeros((half, LANES), table_ref.dtype)
-                acc = _gather_window(table_ref, idxb, w0 * LANES, acc, bf16)
-                if bf16:
-                    acc = pltpu.bitcast(acc, jnp.bfloat16)
-                im2col_ref[row0 + k * Cin:row0 + (k + 1) * Cin, :] = acc
-
-            @pl.when((code >> 14) > 0)
-            def _(gi=gi, w0=w0):
-                for t in range(group):
-                    k = gi * group + t
-                    idxb = read_idx(k)
-                    cur = im2col_ref[row0 + k * Cin:row0 + (k + 1) * Cin, :]
-                    if bf16:
-                        cur = pltpu.bitcast(cur, jnp.int32)
-                    got = _gather_window(table_ref, idxb, (w0 + 1) * LANES,
-                                         cur, bf16)
-                    if bf16:
-                        got = pltpu.bitcast(got, jnp.bfloat16)
-                    im2col_ref[row0 + k * Cin:row0 + (k + 1) * Cin, :] = got
+        w0 = jnp.maximum(code, 0) & (_MAX_BLOCKS - 1)
+        band1 = _load_band(table_ref, w0 * LANES, bf16)
+        band2 = _load_band(table_ref, (w0 + 1) * LANES, bf16)
+        for t in range(group):
+            k = gi * group + t
+            idxb = read_idx(k)
+            if bf16:
+                acc = jnp.zeros((half, LANES), jnp.int32)
+            else:
+                acc = jnp.zeros((half, LANES), table_ref.dtype)
+            acc = _gather_band(band1, idxb, w0 * LANES, acc)
+            acc = _gather_band(band2, idxb, (w0 + 1) * LANES, acc)
+            if bf16:
+                acc = pltpu.bitcast(acc, jnp.bfloat16)
+            im2col_ref[row0 + k * Cin:row0 + (k + 1) * Cin, :] = acc
 
     # tail: tap-blocks whose partners span beyond the 2 group windows
     def tail_entry(j, _):

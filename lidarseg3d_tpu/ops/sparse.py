@@ -318,11 +318,24 @@ def _lookup_rank3_groups(table, qc, gvalid):
     Returns ((idx_m, f_m), (idx_0, f_0), (idx_p, f_p)), each [G, B, V].
     """
     Z, Y, X = (int(s) for s in table.spatial_shape)
-    nce = Z * Y * (X + 2)
     z, y, x = qc[..., 0], qc[..., 1], qc[..., 2]
     inb = ((z >= 0) & (z < Z) & (y >= 0) & (y < Y)
            & (x >= -1) & (x <= X) & gvalid)
     cell = (z * Y + y) * (X + 2) + (x + 1)
+    return lookup_rank3_cells(table, cell, inb)
+
+
+def lookup_rank3_cells(table, cell, inb):
+    """Core of _lookup_rank3_groups on precomputed extended-cell ids.
+
+    cell: [G, B, V] int32 ids on the x-extended grid ((z*Y+y)*(X+2)+x+1),
+    arbitrary where inb is False; inb: [G, B, V] query validity. Callers
+    that can form cells arithmetically (e.g. sorted-point devoxelization,
+    ops/interpolate.py) avoid materializing a [G, B, V, 3] coordinate
+    array whose 3-minor layout pads to 128 lanes on TPU (42x the bytes).
+    """
+    Z, Y, X = (int(s) for s in table.spatial_shape)
+    nce = Z * Y * (X + 2)
     cell = jnp.clip(cell, 0, nce - 1)
     if isinstance(table, coord_ops.KeyTable):
         v = _merge_cells(table, cell, inb)

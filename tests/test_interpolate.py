@@ -180,3 +180,54 @@ def test_grid27_miss_rate_and_exact_agreement_at_scale():
     assert missed.sum() > 0
     # every missed-but-valid point received real features via the fallback
     assert np.all(np.abs(out[missed]).sum(-1) > 0)
+
+
+def test_rulebook_path_matches_sorted_path():
+    """The subm-rulebook reuse path (ops/interpolate.py
+    _grid_interp_rulebook) must equal the grouped-lookup path exactly for
+    points whose own cell is an active voxel (the devoxelization case:
+    every in-grid point created its voxel), and stay finite via the rank
+    fallback for points outside the grid."""
+    rng = np.random.default_rng(7)
+    shape = (6, 12, 12)
+    vs = [0.5, 0.5, 0.5]
+    pcr = [0.0, 0.0, 0.0, 6.0, 6.0, 3.0]
+    B, Vc, C = 2, 600, 8
+    coords = np.full((B, Vc, 3), -1, np.int32)
+    feats = np.zeros((B, Vc, C), np.float32)
+    nums = np.zeros((B,), np.int32)
+    for b in range(B):
+        total = shape[0] * shape[1] * shape[2]
+        n = min(Vc, int(total * 0.5))
+        lin = np.sort(rng.choice(total, n, replace=False))
+        z = lin // (shape[1] * shape[2])
+        rem = lin % (shape[1] * shape[2])
+        coords[b, :n] = np.stack([z, rem // shape[2], rem % shape[2]], 1)
+        feats[b, :n] = rng.standard_normal((n, C)).astype(np.float32)
+        nums[b] = n
+    struct = sp.build_structure(jnp.asarray(coords), jnp.asarray(nums), shape)
+    centers = np.asarray(sp.voxel_centers(struct, vs, pcr))
+    rb = sp.build_subm_rulebook(struct)
+
+    N = 128
+    pts = np.zeros((B, N, 3), np.float32)
+    for b in range(B):
+        pick = rng.integers(0, nums[b], size=N)
+        jitter = rng.uniform(-0.24, 0.24, size=(N, 3)).astype(np.float32)
+        pts[b] = centers[b, pick] + jitter
+    pts[:, -3] = [50.0, 50.0, 50.0]  # far outside the grid -> fallback
+    pvalid = np.ones((B, N), bool)
+    pvalid[:, -1] = False
+
+    args = (jnp.asarray(pts), jnp.asarray(pvalid), struct,
+            jnp.asarray(feats), vs, pcr)
+    want = np.asarray(interp.grid_three_interpolate(*args))
+    got = np.asarray(interp.grid_three_interpolate(*args, subm_rulebook=rb))
+    # own-cell-active points (all but the planted outlier): exact match
+    np.testing.assert_allclose(got[:, :-3], want[:, :-3], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(got[:, -2], want[:, -2], rtol=1e-5, atol=1e-6)
+    # the far point gets the same rank-fallback features on both paths
+    np.testing.assert_allclose(got[:, -3], want[:, -3], rtol=1e-5, atol=1e-6)
+    assert np.all(np.isfinite(got))
+    assert np.all(got[:, -1] == 0)  # invalid point masked

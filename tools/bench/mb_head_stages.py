@@ -138,7 +138,8 @@ def main():
     def interp_body(_, x):
         out = interp.grid_three_interpolate(
             x["points"][..., :3], x["point_valid"], x["conv_structure"],
-            x["conv_point_features"], vsz, pcr, table=x.get("conv_table"))
+            x["conv_point_features"], vsz, pcr, table=x.get("conv_table"),
+            subm_rulebook=x.get("conv_subm_rulebook"))
         return out.sum()
 
     ms, c = timed(interp_body)
