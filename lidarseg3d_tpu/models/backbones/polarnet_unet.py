@@ -13,6 +13,7 @@ from flax import linen as nn
 
 from ..layers import MaskedBatchNorm
 from ..registry import BACKBONES
+from ...ops.resize import resize_bilinear
 
 
 def circular_pad_phi(x):
@@ -83,7 +84,7 @@ class PolarNet_BEV_Unet(nn.Module):
 
         def up(a, b, feat):
             B, H, W, C = a.shape
-            a = jax.image.resize(a, (B, b.shape[1], b.shape[2], C), "bilinear")
+            a = resize_bilinear(a, (b.shape[1], b.shape[2]))
             y = DoubleConvCircular(feat)(jnp.concatenate([b, a], -1), train)
             return DropBlock2D(self.dropout)(y, train)
 

@@ -33,6 +33,7 @@ from flax import linen as nn
 
 from ..layers import MaskedBatchNorm
 from ..registry import IMG_BACKBONES
+from ...ops.resize import resize_bilinear
 
 
 def conv(features, kernel=3, stride=1, name=None, dtype=None):
@@ -199,7 +200,7 @@ class HRModule(nn.Module):
                         y, train
                     )
                     B, H, W, C = outs[i].shape
-                    y = jax.image.resize(y, (y.shape[0], H, W, C), "bilinear")
+                    y = resize_bilinear(y, (H, W))
                 elif j < i:
                     # downsample: (i-j) stride-2 3x3 convs
                     for k in range(i - j):

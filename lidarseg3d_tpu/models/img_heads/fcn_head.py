@@ -11,6 +11,7 @@ from flax import linen as nn
 from ...ops import losses as L
 from ..img_backbones.hrnet import ConvBNReLU
 from ..registry import IMG_HEADS
+from ...ops.resize import resize_bilinear
 
 
 @IMG_HEADS.register_module
@@ -35,12 +36,7 @@ class FCNHead(nn.Module):
         if self.input_transform == "resize_concat":
             tgt = inputs[self.in_index[0]]
             ups = [tgt] + [
-                jax.image.resize(
-                    inputs[i],
-                    (inputs[i].shape[0], tgt.shape[1], tgt.shape[2],
-                     inputs[i].shape[-1]),
-                    "bilinear",
-                )
+                resize_bilinear(inputs[i], (tgt.shape[1], tgt.shape[2]))
                 for i in self.in_index[1:]
             ]
             x = jnp.concatenate(ups, axis=-1)
@@ -69,9 +65,7 @@ class FCNHead(nn.Module):
         logits = ret["image_logits"]
         labels = batch["images_sem_labels"]
         BN, H, W = labels.shape
-        logits = jax.image.resize(
-            logits, (BN, H, W, logits.shape[-1]), "bilinear"
-        )
+        logits = resize_bilinear(logits, (H, W))
         ce = self.loss_weight * L.cross_entropy(
             logits.reshape(-1, logits.shape[-1]), labels.reshape(-1),
             self.ignore_index,

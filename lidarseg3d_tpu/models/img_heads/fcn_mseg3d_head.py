@@ -14,6 +14,7 @@ from flax import linen as nn
 from ...ops import losses as L
 from ..img_backbones.hrnet import ConvBNReLU
 from ..registry import IMG_HEADS
+from ...ops.resize import resize_bilinear
 
 
 def camera_semantic_embeddings(feats, logits, batch_size):
@@ -63,12 +64,7 @@ class FCNMSeg3DHead(nn.Module):
         ups = [tgt]
         for i in self.in_index[1:]:
             x = inputs[i]
-            ups.append(
-                jax.image.resize(
-                    x, (x.shape[0], tgt.shape[1], tgt.shape[2], x.shape[-1]),
-                    "bilinear",
-                )
-            )
+            ups.append(resize_bilinear(x, (tgt.shape[1], tgt.shape[2])))
         x = jnp.concatenate(ups, axis=-1)
         feats = x
         for i in range(self.num_convs):
@@ -107,9 +103,7 @@ class FCNMSeg3DHead(nn.Module):
         logits = ret["image_logits"]
         labels = batch["images_sem_labels"]
         BN, H, W = labels.shape
-        logits = jax.image.resize(
-            logits, (BN, H, W, logits.shape[-1]), "bilinear"
-        )
+        logits = resize_bilinear(logits, (H, W))
         flat_logits = logits.reshape(-1, logits.shape[-1])
         flat_labels = labels.reshape(-1)
         ce = self.loss_weight * L.cross_entropy(

@@ -13,6 +13,7 @@ from flax import linen as nn
 
 from ..layers import MaskedBatchNorm
 from ..img_backbones.hrnet import conv
+from ...ops.resize import resize_bilinear
 
 
 class SCConv(nn.Module):
@@ -27,9 +28,7 @@ class SCConv(nn.Module):
         pooled = nn.avg_pool(x, (r, r), strides=(r, r))
         k2 = conv(self.planes, 3, dtype=x.dtype)(pooled)
         k2 = MaskedBatchNorm()(k2, train=train)
-        k2 = jax.image.resize(
-            k2, (x.shape[0], x.shape[1], x.shape[2], self.planes), "bilinear"
-        )
+        k2 = resize_bilinear(k2, (x.shape[1], x.shape[2]))
         gate = jax.nn.sigmoid(identity + k2)
         # k3 gated, then k4
         k3 = conv(self.planes, 3, dtype=x.dtype)(x)

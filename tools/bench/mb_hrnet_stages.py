@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--ncam", type=int, default=6)
     ap.add_argument("--hw", type=int, nargs=2, default=[640, 960])
+    ap.add_argument("--probes", default="stages",
+                    choices=["stages", "branches", "all"])
     args = ap.parse_args()
 
     import jax
@@ -76,6 +78,25 @@ def main():
                 x = BasicBlock(18)(x, train)
             return x
 
+    def blocks_at(c, s2d=False):
+        class BlocksC(nn.Module):
+            """4 BasicBlocks at one branch width (per-module branch cost)."""
+
+            @nn.compact
+            def __call__(self, x, train=False):
+                from lidarseg3d_tpu.models.img_backbones.hrnet import (
+                    BasicBlock, space_to_depth, depth_to_space,
+                )
+                if s2d:
+                    x = space_to_depth(x)
+                for _ in range(4):
+                    x = BasicBlock(c, s2d=s2d)(x, train)
+                if s2d:
+                    x = depth_to_space(x)
+                return x
+
+        return BlocksC()
+
     h4, w4 = H // 4, W // 4
     shapes2 = [(B, h4, w4, 18), (B, h4 // 2, w4 // 2, 36)]
     shapes3 = shapes2 + [(B, h4 // 4, w4 // 4, 72)]
@@ -93,6 +114,27 @@ def main():
         ("stage3", HRModuleStack(4, 3, (4, 4, 4), (18, 36, 72)),
          [mk(s) for s in shapes3]),
         ("stage4", HRModuleStack(3, 4, (4, 4, 4, 4), (18, 36, 72, 144)),
+         [mk(s) for s in shapes4]),
+    ]
+    # finer probes (--probes branches): per-branch-width block cost, the
+    # shipping s2d variants, and a single stage-3 module (fuse cost =
+    # module - sum of its branch blocks)
+    extra = [
+        ("br18x4", blocks_at(18), [mk((B, h4, w4, 18))]),
+        ("br18x4_s2d", blocks_at(18, s2d=True), [mk((B, h4, w4, 18))]),
+        ("br36x4", blocks_at(36), [mk((B, h4 // 2, w4 // 2, 36))]),
+        ("br72x4", blocks_at(72), [mk((B, h4 // 4, w4 // 4, 72))]),
+        ("br144x4", blocks_at(144), [mk((B, h4 // 8, w4 // 8, 144))]),
+        ("stage3x1", HRModuleStack(1, 3, (4, 4, 4), (18, 36, 72)),
+         [mk(s) for s in shapes3]),
+        ("stage3x1_s2d",
+         HRModuleStack(1, 3, (4, 4, 4), (18, 36, 72), s2d_max_c=18),
+         [mk(s) for s in shapes3]),
+        ("stage3_s2d",
+         HRModuleStack(4, 3, (4, 4, 4), (18, 36, 72), s2d_max_c=18),
+         [mk(s) for s in shapes3]),
+        ("stage4_s2d",
+         HRModuleStack(3, 4, (4, 4, 4, 4), (18, 36, 72, 144), s2d_max_c=18),
          [mk(s) for s in shapes4]),
     ]
 
@@ -132,17 +174,24 @@ def main():
         ms = (min(ts) - RPC_FLOOR_S) / args.reps * 1000
         return ms, comp, fl
 
+    if args.probes == "branches":
+        stages = extra
+    elif args.probes == "all":
+        stages = stages + extra
+
     total_ms, total_fl = 0.0, 0.0
+    in_sum = {"stem", "stage1", "stage2", "stage3", "stage4"}
     for name, mod, inputs in stages:
         ms, comp, fl = timed(mod, inputs)
         tfs = fl / (ms / 1000) / 1e12 if fl > 0 else -1
-        if name != "blocks1x4":  # informational, inside stage3/4 already
+        if name in in_sum:
             total_ms += ms
             total_fl += fl
-        print(f"{name:10s}: {ms:7.2f} ms  {fl/1e9:7.1f} GFLOP  "
+        print(f"{name:12s}: {ms:7.2f} ms  {fl/1e9:7.1f} GFLOP  "
               f"{tfs:6.1f} TFLOP/s  (compile {comp:.0f}s)", flush=True)
-    print(f"{'sum':10s}: {total_ms:7.2f} ms  {total_fl/1e9:7.1f} GFLOP  "
-          f"(stem+s1+s2+s3+s4; transitions/head excluded)")
+    if args.probes != "branches":
+        print(f"{'sum':12s}: {total_ms:7.2f} ms  {total_fl/1e9:7.1f} GFLOP  "
+              f"(stem+s1+s2+s3+s4; transitions/head excluded)")
 
 
 if __name__ == "__main__":
