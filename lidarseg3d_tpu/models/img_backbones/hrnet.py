@@ -14,14 +14,18 @@ and contribute no gradients (stop_gradient at the stage boundary).
 Space-to-depth branch blocks (s2d_max_c): the narrow branches (C=18 for
 w18) run their 3x3 convs at ~2% MXU utilization — an [M,18]x[18,18] tap
 GEMM uses 18 of 128 lanes on BOTH the contraction and output dims of the
-128x128 systolic array. Branches with C <= s2d_max_c therefore run their
-BasicBlock stacks in space-to-depth(2) layout: [N,H,W,C] -> [N,H/2,W/2,4C],
-where the same 3x3 stride-1 conv is EXACTLY a 3x3 conv with a rearranged
-(block-structured) [3,3,4C,4C] kernel — 4x the MACs at (72/128)^2 vs
-(18/128)^2 utilization, i.e. ~4x net on the MXU (measured on v5e:
-tools/bench/mb_conv_variants.py). Parameters are IDENTICAL to the plain
-layout (the [3,3,C,C] kernel is rearranged at apply time), so checkpoint
-import and the golden parity tests are unchanged.
+128x128 systolic array. Branches with C <= s2d_max_c therefore live in
+space-to-depth(2) layout: [N,H,W,C] -> [N,H/2,W/2,4C], where the same 3x3
+stride-1 conv is EXACTLY a 3x3 conv with a rearranged (block-structured)
+[3,3,4C,4C] kernel — 4x the MACs at (72/128)^2 vs (18/128)^2 utilization,
+i.e. ~4x net on the MXU (measured on v5e: tools/bench/mb_conv_variants.py).
+The layout is PERSISTENT across a whole HRModuleStack: branches convert
+once at stack entry/exit, and the multi-resolution fusion reads/writes s2d
+branches natively (upsample_into_s2d phase stacks; stride-2 downsample
+convs consume s2d input via a [2,2,4C,Cout] rearranged kernel,
+s2d_down_kernel3). Parameters are IDENTICAL to the plain layout (kernels
+are rearranged at apply time), so checkpoint import and the golden parity
+tests are unchanged.
 """
 
 import itertools
@@ -33,7 +37,7 @@ from flax import linen as nn
 
 from ..layers import MaskedBatchNorm
 from ..registry import IMG_BACKBONES
-from ...ops.resize import resize_bilinear
+from ...ops.resize import resize_bilinear, upsample_into_s2d
 
 
 def conv(features, kernel=3, stride=1, name=None, dtype=None):
@@ -85,6 +89,47 @@ def s2d_kernel3(w):
     return w2
 
 
+def s2d_down_kernel3(w):
+    """Rearrange a [3,3,Cin,Cout] STRIDE-2 same-pad conv kernel into the
+    [2,2,4Cin,Cout] stride-1 kernel that computes the same conv directly
+    from space-to-depth(2) input (normal-layout half-resolution output).
+    Output (y',x') reads original rows 2y'+ky-1 = s2d row y'-1+ry, sub-row
+    sy with ky = 2*ry + sy - 1; pad one s2d row/col at the leading edge
+    (its sub-row 0 = original row -2 gets zero weight, sub-row 1 = the
+    original conv's -1 padding)."""
+    Cin, Cout = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((2, 2, 4 * Cin, Cout), w.dtype)
+    for ry, sy, rx, sx in itertools.product(
+            range(2), range(2), range(2), range(2)):
+        ky, kx = 2 * ry + sy - 1, 2 * rx + sx - 1
+        if not (0 <= ky <= 2 and 0 <= kx <= 2):
+            continue
+        si = (sy * 2 + sx) * Cin
+        w2 = w2.at[ry, rx, si:si + Cin, :].set(w[ky, kx])
+    return w2
+
+
+class S2DDownConv(nn.Module):
+    """3x3 stride-2 conv consuming space-to-depth(2) input, producing
+    normal-layout half-resolution output; params are the plain
+    [3,3,Cin,Cout] kernel (rearranged at apply time)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1] // 4
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features))
+        dt = self.dtype or x.dtype
+        k2 = s2d_down_kernel3(kernel).astype(dt)
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), k2, (1, 1), ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class S2DConv(nn.Module):
     """3x3 stride-1 conv on space-to-depth(2) inputs; params are the plain
     [3,3,Cin,Cout] kernel (rearranged at apply time), so the tree matches
@@ -112,6 +157,7 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     relu: bool = True
     s2d: bool = False  # operate in space-to-depth(2) layout (see header)
+    s2d_in: bool = False  # stride-2 conv CONSUMING s2d input (normal out)
 
     @nn.compact
     def __call__(self, x, train):
@@ -119,6 +165,10 @@ class ConvBNReLU(nn.Module):
             assert self.kernel == 3 and self.stride == 1
             x = S2DConv(self.features, dtype=x.dtype, name="Conv_0")(x)
             x = MaskedBatchNorm(sub_groups=4)(x, train=train)
+        elif self.s2d_in:
+            assert self.kernel == 3 and self.stride == 2
+            x = S2DDownConv(self.features, dtype=x.dtype, name="Conv_0")(x)
+            x = MaskedBatchNorm()(x, train=train)
         else:
             x = conv(self.features, self.kernel, self.stride,
                      dtype=x.dtype)(x)
@@ -162,30 +212,38 @@ class Bottleneck(nn.Module):
 
 
 class HRModule(nn.Module):
-    """Parallel branches + full multi-resolution fusion."""
+    """Parallel branches + full multi-resolution fusion.
+
+    Branches flagged in ``s2d_branches`` arrive, compute, and leave in
+    PERSISTENT space-to-depth(2) layout ([N,H/2,W/2,4C]): their blocks run
+    S2DConv, and the fusion reads/writes them without ever materializing
+    the [N,H,W,C] form (C<=18 maps waste 110/128 VPU lanes and MXU
+    contraction dims; the per-module s2d<->d2s roundtrip of the previous
+    design gave back the whole branch-level win — measured on v5e,
+    tools/bench/mb_hrnet_stages.py: stage3 17.2 ms both ways). Conversion
+    now happens once per HRModuleStack, not once per module x branch."""
 
     num_branches: int
     num_blocks: tuple
     num_channels: tuple
     multiscale_output: bool = True
-    s2d_max_c: int = 0
+    s2d_branches: tuple = ()
 
     @nn.compact
     def __call__(self, xs, train):
-        # per-branch blocks
+        flags = (tuple(self.s2d_branches)
+                 or (False,) * self.num_branches)
+        # per-branch blocks (s2d branches stay in s2d layout throughout)
         outs = []
         for i in range(self.num_branches):
             x = xs[i]
-            use_s2d = (0 < self.num_channels[i] <= self.s2d_max_c
-                       and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-                       and x.shape[-1] == self.num_channels[i])
-            if use_s2d:
-                x = space_to_depth(x)
             for _ in range(self.num_blocks[i]):
-                x = BasicBlock(self.num_channels[i], s2d=use_s2d)(x, train)
-            if use_s2d:
-                x = depth_to_space(x)
+                x = BasicBlock(self.num_channels[i], s2d=flags[i])(x, train)
             outs.append(x)
+
+        def full_hw(i):
+            h, w = outs[i].shape[1], outs[i].shape[2]
+            return (h * 2, w * 2) if flags[i] else (h, w)
 
         # fusion
         n_out = self.num_branches if self.multiscale_output else 1
@@ -195,20 +253,29 @@ class HRModule(nn.Module):
             for j in range(self.num_branches):
                 y = outs[j]
                 if j > i:
-                    # upsample: 1x1 conv + BN + bilinear resize
+                    # upsample: 1x1 conv + BN at branch-j res + bilinear
+                    if flags[j]:
+                        y = depth_to_space(y)
                     y = ConvBNReLU(self.num_channels[i], kernel=1, relu=False)(
                         y, train
                     )
-                    B, H, W, C = outs[i].shape
-                    y = resize_bilinear(y, (H, W))
+                    H, W = full_hw(i)
+                    if flags[i]:
+                        y = upsample_into_s2d(y, H // y.shape[1])
+                    else:
+                        y = resize_bilinear(y, (H, W))
                 elif j < i:
-                    # downsample: (i-j) stride-2 3x3 convs
+                    # downsample: (i-j) stride-2 3x3 convs; the first conv
+                    # consumes s2d input directly via the rearranged kernel
                     for k in range(i - j):
                         last = k == i - j - 1
                         y = ConvBNReLU(
                             self.num_channels[i] if last else self.num_channels[j],
                             stride=2, relu=not last,
+                            s2d_in=flags[j] and k == 0,
                         )(y, train)
+                    if flags[i]:
+                        y = space_to_depth(y)
                 acc = y if acc is None else acc + y
             fused.append(jax.nn.relu(acc))
         return fused
@@ -220,13 +287,13 @@ class _HRModuleScanBody(nn.Module):
     num_branches: int
     num_blocks: tuple
     num_channels: tuple
-    s2d_max_c: int = 0
+    s2d_branches: tuple = ()
 
     @nn.compact
     def __call__(self, xs, train):
         ys = HRModule(self.num_branches, self.num_blocks,
                       self.num_channels,
-                      s2d_max_c=self.s2d_max_c)(list(xs), train)
+                      s2d_branches=self.s2d_branches)(list(xs), train)
         return tuple(ys), None
 
 
@@ -248,6 +315,14 @@ class HRModuleStack(nn.Module):
 
     @nn.compact
     def __call__(self, xs, train):
+        # persistent s2d layout: convert flagged branches ONCE at stack
+        # entry/exit; every module in the scan keeps them in s2d form
+        flags = tuple(
+            0 < self.num_channels[i] <= self.s2d_max_c
+            and xs[i].shape[1] % 2 == 0 and xs[i].shape[2] % 2 == 0
+            and xs[i].shape[-1] == self.num_channels[i]
+            for i in range(self.num_branches))
+        xs = [space_to_depth(x) if f else x for f, x in zip(flags, xs)]
         body = (nn.remat(_HRModuleScanBody, static_argnums=(2,))
                 if self.remat else _HRModuleScanBody)
         Body = nn.scan(
@@ -258,8 +333,8 @@ class HRModuleStack(nn.Module):
             length=self.num_modules,
         )
         ys, _ = Body(self.num_branches, self.num_blocks, self.num_channels,
-                     s2d_max_c=self.s2d_max_c, name="scan")(tuple(xs), train)
-        return list(ys)
+                     s2d_branches=flags, name="scan")(tuple(xs), train)
+        return [depth_to_space(y) if f else y for f, y in zip(flags, ys)]
 
 
 @IMG_BACKBONES.register_module

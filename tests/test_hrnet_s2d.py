@@ -12,7 +12,8 @@ import numpy as np
 import pytest
 
 from lidarseg3d_tpu.models.img_backbones.hrnet import (
-    HRNet, S2DConv, s2d_kernel3, space_to_depth, depth_to_space,
+    HRNet, S2DConv, s2d_kernel3, s2d_down_kernel3, space_to_depth,
+    depth_to_space,
 )
 
 EXTRA = dict(
@@ -43,6 +44,19 @@ def test_s2d_kernel3_matches_plain_conv():
     got = depth_to_space(jax.lax.conv_general_dilated(
         space_to_depth(x), s2d_kernel3(w), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_down_kernel3_matches_stride2_conv():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 5, 7)), jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = jax.lax.conv_general_dilated(
+        space_to_depth(x), s2d_down_kernel3(w), (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
